@@ -1,0 +1,187 @@
+"""Core data-model tests: Timestep, MemoryReader, Universe, AtomGroup,
+selection language (capability parity with the MDAnalysis slice the
+reference consumes, SURVEY.md §2b)."""
+
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose, assert_array_equal
+
+import transport_analysis_tpu as ta
+from transport_analysis_tpu.core.timestep import Timestep, box_volume
+from transport_analysis_tpu.core.trajectory import MemoryReader
+from transport_analysis_tpu.core.transformations import set_dimensions
+from transport_analysis_tpu.utils.errors import NoDataError, SelectionError
+
+
+class TestTimestep:
+    def test_flags(self):
+        ts = Timestep(5, positions=True, velocities=False)
+        assert ts.has_positions and not ts.has_velocities
+        with pytest.raises(NoDataError):
+            ts.velocities
+
+    def test_volume_orthorhombic(self):
+        ts = Timestep(1)
+        ts.dimensions = np.array([2.0, 2.0, 2.0, 90.0, 90.0, 90.0])
+        assert_allclose(ts.volume, 8.0)
+
+    def test_volume_triclinic(self):
+        # the packaged EC topology box: 41.432³ with α=β=60, γ=90
+        v = box_volume([41.432, 41.432, 41.432, 60.0, 60.0, 90.0])
+        a = np.radians(60)
+        g = np.radians(90)
+        expected = 41.432 ** 3 * np.sqrt(
+            1 - 2 * np.cos(a) ** 2 - np.cos(g) ** 2
+            + 2 * np.cos(a) ** 2 * np.cos(g)
+        )
+        assert_allclose(v, expected)
+
+    def test_volume_zero_without_box(self):
+        ts = Timestep(1)
+        assert ts.volume == 0.0
+
+
+class TestMemoryReader:
+    def test_iteration_and_views(self):
+        pos = np.arange(2 * 3 * 3, dtype=np.float32).reshape(2, 3, 3)
+        r = MemoryReader(pos.copy())
+        frames = [ts.frame for ts in r]
+        assert frames == [0, 1]
+        assert_allclose(r[1].positions, pos[1])
+
+    def test_write_through_views(self):
+        r = MemoryReader.allocate(2, 4, velocities=True)
+        for i, ts in enumerate(r):
+            ts.velocities[:] = i + 1
+        # re-read: writes must persist
+        assert_allclose(r[2].velocities, 3.0)
+
+    def test_slicing(self):
+        r = MemoryReader.allocate(1, 10)
+        sel = r[2:9:3]
+        assert [ts.frame for ts in sel] == [2, 5, 8]
+        assert len(sel) == 3
+
+    def test_batch_read(self):
+        pos = np.random.rand(6, 4, 3).astype(np.float32)
+        vel = np.random.rand(6, 4, 3).astype(np.float32)
+        r = MemoryReader(pos, velocities=vel, dt=2.0)
+        batch = r.read_frames_batch([1, 3, 5])
+        assert_allclose(batch["positions"], pos[[1, 3, 5]])
+        assert_allclose(batch["velocities"], vel[[1, 3, 5]])
+        assert_allclose(batch["times"], [2.0, 6.0, 10.0])
+
+    def test_check_slice_indices(self):
+        r = MemoryReader.allocate(1, 100)
+        assert r.check_slice_indices(None, None, None) == (0, 100, 1)
+        assert r.check_slice_indices(10, 1000, 10) == (10, 100, 10)
+        with pytest.raises(ValueError):
+            r.check_slice_indices(0, 10, 0)
+
+
+class TestUniverse:
+    def test_empty(self):
+        u = ta.Universe.empty(7, n_frames=3, velocities=True)
+        assert len(u.atoms) == 7
+        assert u.trajectory.n_frames == 3
+        assert u.trajectory.has_velocities
+
+    def test_empty_no_velocities(self):
+        u = ta.Universe.empty(10, n_frames=5, velocities=False)
+        assert not u.trajectory.has_velocities
+
+    def test_load_new(self):
+        u = ta.Universe.empty(2)
+        coords = np.random.rand(4, 2, 3).astype(np.float32)
+        u.load_new(coords)
+        assert u.trajectory.n_frames == 4
+        assert_allclose(u.trajectory[3].positions, coords[3])
+
+    def test_add_topology_attr(self):
+        u = ta.Universe.empty(1)
+        u.add_TopologyAttr("masses", [16.0])
+        assert_allclose(u.atoms.masses, [16.0])
+
+    def test_set_dimensions_persists(self):
+        u = ta.Universe.empty(1, n_frames=3)
+        setter = set_dimensions([2, 2, 2, 90, 90, 90])
+        for ts in u.trajectory:
+            setter(ts)
+        assert_allclose(u.trajectory[1].volume, 8.0)
+
+
+class TestAtomGroupAndSelection:
+    @pytest.fixture()
+    def u(self):
+        u = ta.Universe.empty(
+            6, n_residues=3, n_segments=1,
+            atom_resindex=[0, 0, 1, 1, 2, 2], n_frames=2,
+            velocities=True,
+        )
+        u.add_TopologyAttr("names", ["O", "H", "O", "H", "CA", "N"])
+        u.add_TopologyAttr("resnames", ["WAT", "WAT", "SOL"])
+        u.add_TopologyAttr("resids", [1, 2, 3])
+        u.add_TopologyAttr("masses", [16, 1, 16, 1, 12, 14])
+        return u
+
+    def test_name(self, u):
+        assert_array_equal(u.select_atoms("name O").indices, [0, 2])
+
+    def test_and_or_not(self, u):
+        ag = u.select_atoms("name O and resname WAT")
+        assert_array_equal(ag.indices, [0, 2])
+        ag = u.select_atoms("name O or name N")
+        assert_array_equal(ag.indices, [0, 2, 5])
+        ag = u.select_atoms("not name H")
+        assert_array_equal(ag.indices, [0, 2, 4, 5])
+
+    def test_resid_range(self, u):
+        assert_array_equal(
+            u.select_atoms("resid 1-2").indices, [0, 1, 2, 3]
+        )
+        assert_array_equal(u.select_atoms("resid 1 3").indices, [0, 1, 4, 5])
+
+    def test_parentheses(self, u):
+        ag = u.select_atoms("(name O or name H) and resid 1")
+        assert_array_equal(ag.indices, [0, 1])
+
+    def test_combined_reference_style(self, u):
+        # the selection style used throughout the reference tests
+        ag = u.select_atoms("name O and resname WAT and resid 1-10")
+        assert_array_equal(ag.indices, [0, 2])
+
+    def test_mass_filter(self, u):
+        assert_array_equal(u.select_atoms("mass 16").indices, [0, 2])
+
+    def test_index(self, u):
+        assert_array_equal(u.select_atoms("index 0-2").indices, [0, 1, 2])
+
+    def test_all_none(self, u):
+        assert len(u.select_atoms("all")) == 6
+        assert len(u.select_atoms("none")) == 0
+
+    def test_bad_selection(self, u):
+        with pytest.raises(SelectionError):
+            u.select_atoms("bogus keyword")
+
+    def test_around_updating(self, u):
+        u.atoms.positions = np.array(
+            [[0, 0, 0], [1, 0, 0], [10, 0, 0], [11, 0, 0],
+             [2, 0, 0], [20, 0, 0]],
+            dtype=np.float32,
+        )
+        ag = u.select_atoms("around 3.5 resid 1", updating=True)
+        assert isinstance(ag, ta.UpdatingAtomGroup)
+        # atoms 4 (d=2) within 3.5 of resid 1 atoms {0,1}; excludes selves
+        assert_array_equal(ag.indices, [4])
+
+    def test_atomgroup_properties(self, u):
+        ag = u.select_atoms("name O")
+        assert len(ag) == 2
+        assert ag.n_atoms == 2
+        assert_allclose(ag.masses, [16, 16])
+        vel = np.random.rand(2, 3).astype(np.float32)
+        ag.velocities = vel
+        assert_allclose(ag.velocities, vel)
+        # write-through persists in the backing store
+        assert_allclose(u.trajectory[0].velocities[[0, 2]], vel)

@@ -1,0 +1,99 @@
+"""EinsteinMSD tests, including the Green–Kubo vs Einstein diffusivity
+cross-check the reference runs (test_velocityautocorr.py:577-600)."""
+
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose, assert_approx_equal
+from scipy.stats import linregress
+
+import transport_analysis_tpu as ta
+from transport_analysis_tpu import EinsteinMSD, VelocityAutocorr
+from transport_analysis_tpu.utils.errors import NoDataError
+
+ALL_DIMS = [
+    ("xyz", 3),
+    ("xy", 2),
+    ("xz", 2),
+    ("yz", 2),
+    ("x", 1),
+    ("y", 1),
+    ("z", 1),
+]
+
+
+def brute_force_msd(r, dims):
+    r = np.asarray(r, dtype=np.float64)[:, :, dims]
+    N, P, d = r.shape
+    out = np.zeros((N, P))
+    for lag in range(1, N):
+        disp = r[lag:] - r[:-lag]
+        out[lag] = np.square(disp).sum(axis=-1).mean(axis=0)
+    return out
+
+
+class TestEinsteinMSD:
+    def test_requires_positions(self):
+        # a Universe whose reader carries velocities only is synthetic;
+        # instead check the validated error path via a 0-volume-style
+        # missing-positions reader
+        u = ta.Universe.empty(3, n_frames=4, velocities=True)
+        # remove positions from the memory reader to simulate
+        u.trajectory._pos = None
+        u.trajectory.ts._positions = None
+        with pytest.raises(NoDataError, match="requires positions"):
+            EinsteinMSD(u.atoms).run()
+
+    def test_msd_random_walk(self):
+        rng = np.random.RandomState(11)
+        N, P = 64, 5
+        steps = rng.normal(size=(N, P, 3))
+        pos = np.cumsum(steps, axis=0)
+        u = ta.Universe.empty(P)
+        u.load_new(pos.astype(np.float32))
+        m = EinsteinMSD(u.atoms, msd_type="xyz", fft=True).run()
+        expected = brute_force_msd(
+            u.trajectory._pos, [0, 1, 2]
+        )
+        assert_allclose(
+            m.results.msds_by_particle, expected, rtol=1e-4, atol=1e-6
+        )
+
+    @pytest.mark.parametrize("tdim, tdim_factor", ALL_DIMS)
+    def test_fft_vs_windowed(self, tdim, tdim_factor):
+        rng = np.random.RandomState(5)
+        pos = np.cumsum(rng.normal(size=(48, 3, 3)), axis=0)
+        u = ta.Universe.empty(3)
+        u.load_new(pos.astype(np.float32))
+        a = EinsteinMSD(u.atoms, msd_type=tdim, fft=True).run()
+        b = EinsteinMSD(u.atoms, msd_type=tdim, fft=False).run()
+        assert_allclose(
+            a.results.timeseries, b.results.timeseries,
+            rtol=1e-6, atol=1e-8,
+        )
+
+    def test_select_string(self, u_random):
+        m = EinsteinMSD(u_random, select="resid 1-5").run()
+        assert m.n_particles == 5
+
+
+@pytest.mark.parametrize("tdim, tdim_factor", ALL_DIMS)
+def test_gk_vs_einstein_diffusivity(
+    step_vtraj, step_vtraj_pos, tdim, tdim_factor
+):
+    """Green–Kubo D (∫VACF) agrees with Einstein D (MSD slope) to 2
+    significant figures on the step trajectory (the reference's
+    independent-physics cross-check)."""
+    v_fft = VelocityAutocorr(step_vtraj.atoms, dim_type=tdim, fft=True)
+    v_fft.run()
+    sd_actual = v_fft.self_diffusivity_gk()
+
+    MSD = EinsteinMSD(step_vtraj_pos, select="all", msd_type=tdim)
+    MSD.run()
+    msd_res = MSD.results.timeseries
+    lagtimes = np.arange(MSD.n_frames)
+    start_time, end_time = 3000, 5000
+    linear_model = linregress(
+        lagtimes[start_time:end_time], msd_res[start_time:end_time]
+    )
+    sd_expected = linear_model.slope / (2 * tdim_factor)
+    assert_approx_equal(sd_actual, sd_expected, significant=2)

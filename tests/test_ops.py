@@ -1,0 +1,182 @@
+"""Kernel-level tests: autocorrelation, Einstein differences,
+integration, and fits — validated against independent numpy/scipy
+implementations (the reference's oracle strategy, SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+from scipy import integrate as sp_integrate
+
+from transport_analysis_tpu import ops
+from transport_analysis_tpu.ops.acf import acf_fft_numpy, next_pow_2
+
+
+def brute_force_acf(x):
+    """O(N²) per-lag loop, the trusted oracle."""
+    x = np.asarray(x, dtype=np.float64)
+    N, P, d = x.shape
+    out = np.zeros((N, P))
+    for lag in range(N):
+        prod = np.sum(x[: N - lag] * x[lag:], axis=-1)
+        out[lag] = prod.mean(axis=0)
+    return out
+
+
+def brute_force_einstein(a, reduce_mode="mean"):
+    a = np.asarray(a, dtype=np.float64)
+    N, P, d = a.shape
+    out = np.zeros((N, P))
+    for lag in range(1, N):
+        diff = a[:-lag] - a[lag:]
+        sq = np.square(diff).sum(axis=-1)
+        if reduce_mode == "mean":
+            sq = sq / d
+        out[lag] = sq.mean(axis=0)
+    return out
+
+
+@pytest.fixture(scope="module")
+def series():
+    rng = np.random.RandomState(42)
+    return rng.normal(0, 2, (37, 5, 3))
+
+
+class TestNextPow2:
+    def test_values(self):
+        assert next_pow_2(1) == 1
+        assert next_pow_2(2) == 2
+        assert next_pow_2(3) == 4
+        assert next_pow_2(5000) == 8192
+
+
+class TestACF:
+    def test_fft_vs_brute(self, series):
+        assert_allclose(
+            np.asarray(ops.acf_fft(series)),
+            brute_force_acf(series),
+            rtol=1e-10,
+            atol=1e-10,
+        )
+
+    def test_windowed_vs_brute(self, series):
+        assert_allclose(
+            np.asarray(ops.acf_windowed(series)),
+            brute_force_acf(series),
+            rtol=1e-12,
+        )
+
+    def test_fft_matches_numpy_reference(self, series):
+        assert_allclose(
+            np.asarray(ops.acf_fft(series)),
+            acf_fft_numpy(series),
+            rtol=1e-12,
+        )
+
+    def test_2d_input(self):
+        rng = np.random.RandomState(0)
+        x = rng.normal(size=(16, 4))
+        got = np.asarray(ops.acf_fft(x))
+        expected = brute_force_acf(x[:, :, None])
+        assert_allclose(got, expected, rtol=1e-10, atol=1e-12)
+
+    def test_single_particle_polynomial(self):
+        # v(t) = t: the reference's characteristic_poly identity
+        N = 101
+        v = np.arange(N, dtype=np.float64).reshape(N, 1, 1)
+        v = np.repeat(v, 3, axis=2)
+        expected = np.zeros(N)
+        for lag in range(N):
+            s = sum(x * (x + lag) for x in range(N - lag))
+            expected[lag] = s * 3 / (N - lag)
+        assert_allclose(
+            np.asarray(ops.acf_fft(v))[:, 0], expected, rtol=1e-9,
+            atol=1e-8,
+        )
+        assert_allclose(
+            np.asarray(ops.acf_windowed(v))[:, 0], expected, rtol=1e-12
+        )
+
+
+class TestEinstein:
+    def test_fft_vs_brute_mean(self, series):
+        assert_allclose(
+            np.asarray(ops.einstein_difference_fft(series, "mean")),
+            brute_force_einstein(series, "mean"),
+            rtol=1e-9,
+            atol=1e-9,
+        )
+
+    def test_windowed_vs_brute_mean(self, series):
+        assert_allclose(
+            np.asarray(ops.einstein_difference_windowed(series, "mean")),
+            brute_force_einstein(series, "mean"),
+            rtol=1e-12,
+        )
+
+    def test_fft_vs_brute_sum(self, series):
+        assert_allclose(
+            np.asarray(ops.einstein_difference_fft(series, "sum")),
+            brute_force_einstein(series, "sum"),
+            rtol=1e-9,
+            atol=1e-9,
+        )
+
+    def test_msd_linear_motion(self):
+        # r(t) = v·t ⇒ MSD(lag) = |v|²·lag²
+        N = 64
+        v = np.array([1.0, 2.0, -0.5])
+        r = np.arange(N)[:, None, None] * v[None, None, :]
+        msd = np.asarray(ops.msd_fft(r))[:, 0]
+        lags = np.arange(N, dtype=np.float64)
+        assert_allclose(msd, np.sum(v ** 2) * lags ** 2, rtol=1e-8, atol=1e-8)
+
+
+class TestIntegrate:
+    @pytest.fixture(scope="class")
+    def xy(self):
+        rng = np.random.RandomState(7)
+        x = np.sort(rng.uniform(0, 10, 51))
+        y = np.sin(x) + 0.1 * rng.normal(size=51)
+        return x, y
+
+    def test_trapezoid(self, xy):
+        x, y = xy
+        assert_allclose(
+            float(ops.trapezoid(y, x)),
+            sp_integrate.trapezoid(y, x),
+            rtol=1e-12,
+        )
+
+    def test_simpson_odd(self, xy):
+        x, y = xy
+        assert_allclose(
+            float(ops.simpson(y, x)),
+            sp_integrate.simpson(y=y, x=x),
+            rtol=1e-12,
+        )
+
+    def test_simpson_even(self, xy):
+        x, y = xy
+        assert_allclose(
+            float(ops.simpson(y[:-1], x[:-1])),
+            sp_integrate.simpson(y=y[:-1], x=x[:-1]),
+            rtol=1e-12,
+        )
+
+    def test_cumulative_trapezoid(self, xy):
+        x, y = xy
+        assert_allclose(
+            np.asarray(ops.cumulative_trapezoid(y, x, initial=0.0)),
+            sp_integrate.cumulative_trapezoid(y, x, initial=0),
+            rtol=1e-12,
+            atol=1e-14,
+        )
+
+    def test_polyfit_linear(self):
+        rng = np.random.RandomState(3)
+        x = np.arange(50, dtype=np.float64)
+        y = 2.5 * x - 7.0 + rng.normal(0, 0.1, 50)
+        slope, intercept = ops.polyfit_linear(x, y)
+        exp_slope, exp_intercept = np.polyfit(x, y, 1)
+        assert_allclose(float(slope), exp_slope, rtol=1e-10)
+        assert_allclose(float(intercept), exp_intercept, rtol=1e-10)

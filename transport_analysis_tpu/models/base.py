@@ -1,0 +1,129 @@
+"""Analysis runtime: the engine that drives trajectory analyses.
+
+Re-provides the ``MDAnalysis.analysis.base.AnalysisBase`` template-method
+contract the reference plugs into (SURVEY.md §1 L2): ``run(start, stop,
+step, frames, verbose)`` drives ``_prepare()`` → per-frame work →
+``_conclude()``, exposing ``n_frames``, ``times``, ``frames``,
+``_frame_index``, ``_ts`` and a dict-like ``results``.
+
+TPU-first redesign: instead of the reference's serial per-frame Python
+loop (its hot loop #1), subclasses that implement ``_process_batch``
+receive the *entire* strided frame selection as stacked arrays in one
+``read_frames_batch`` call and ship it to the device as a single block.
+The per-frame ``_single_frame`` hook remains fully supported — both for
+user subclasses written against the MDAnalysis API and as an explicit
+``engine="frame"`` parity mode.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+
+class Results(dict):
+    """dict with attribute access (MDAnalysis ``Results`` parity;
+    consumed by the reference at velocityautocorr.py:121-125)."""
+
+    def __getattr__(self, key):
+        try:
+            return self[key]
+        except KeyError as err:
+            raise AttributeError(
+                f"'Results' object has no attribute '{key}'"
+            ) from err
+
+    def __setattr__(self, key, value):
+        self[key] = value
+
+    def __delattr__(self, key):
+        try:
+            del self[key]
+        except KeyError as err:
+            raise AttributeError(
+                f"'Results' object has no attribute '{key}'"
+            ) from err
+
+
+class AnalysisBase:
+    def __init__(self, trajectory, verbose: bool = False, engine=None,
+                 **kwargs):
+        self._trajectory = trajectory
+        self._verbose = verbose
+        if engine not in (None, "batch", "frame"):
+            raise ValueError("engine must be 'batch' or 'frame'")
+        self._engine = engine
+        self.results = Results()
+
+    # --- frame bookkeeping ----------------------------------------------------
+    def _setup_frames(
+        self, trajectory, start=None, stop=None, step=None, frames=None
+    ):
+        if frames is not None:
+            if not (start is None and stop is None and step is None):
+                raise ValueError(
+                    "start/stop/step cannot be combined with frames"
+                )
+            frames = np.asarray(frames)
+            if frames.dtype == bool:
+                frames = np.flatnonzero(frames)
+            frame_indices = frames.astype(np.int64)
+            self.start = self.stop = self.step = None
+        else:
+            start, stop, step = trajectory.check_slice_indices(
+                start, stop, step
+            )
+            self.start, self.stop, self.step = start, stop, step
+            frame_indices = np.arange(start, stop, step, dtype=np.int64)
+        self.frames = frame_indices
+        self.n_frames = len(frame_indices)
+        self.times = np.zeros(self.n_frames, dtype=np.float64)
+
+    # --- subclass hooks ---------------------------------------------------------
+    def _prepare(self):
+        pass
+
+    def _single_frame(self):  # pragma: no cover - overridden
+        raise NotImplementedError(
+            "analysis subclasses must implement _single_frame "
+            "or _process_batch"
+        )
+
+    def _validate_trajectory(self):
+        """Batch-engine hook: raise (e.g. NoDataError) if the trajectory
+        lacks required per-frame data. Called before any frame is read."""
+
+    def _conclude(self):
+        pass
+
+    # --- driver --------------------------------------------------------------------
+    def run(
+        self,
+        start: Optional[int] = None,
+        stop: Optional[int] = None,
+        step: Optional[int] = None,
+        frames=None,
+        verbose: Optional[bool] = None,
+    ):
+        self._setup_frames(
+            self._trajectory, start=start, stop=stop, step=step, frames=frames
+        )
+        self._prepare()
+        use_batch = (
+            hasattr(self, "_process_batch") and self._engine != "frame"
+        )
+        if use_batch:
+            self._validate_trajectory()
+            batch = self._trajectory.read_frames_batch(self.frames)
+            self.times = np.asarray(batch["times"], dtype=np.float64)
+            self._process_batch(batch)
+        else:
+            for i, frame_index in enumerate(self.frames):
+                ts = self._trajectory[int(frame_index)]
+                self._frame_index = i
+                self._ts = ts
+                self.times[i] = ts.time
+                self._single_frame()
+        self._conclude()
+        return self

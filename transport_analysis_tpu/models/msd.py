@@ -1,0 +1,90 @@
+"""Einstein mean-squared-displacement (MSD) analysis.
+
+Counterpart of ``MDAnalysis.analysis.msd.EinsteinMSD``, which the
+reference consumes as the independent Einstein-relation cross-check on
+Green–Kubo diffusivity (reference test_velocityautocorr.py:15,589-597)
+and which BASELINE.json lists as a build config. Computes
+
+    MSD(j Δt) = ⟨ |r(iΔt + jΔt) − r(iΔt)|² ⟩_{i, particles}
+
+with either the FFT (Kneller/Calandrini) algorithm — batched over all
+particles in one device call — or the exact windowed summation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.groups import AtomGroup
+from ..utils.errors import NoDataError
+from .. import ops
+from ..parallel.sharding import shard_frames_axis
+from .base import AnalysisBase
+from ._dims import parse_dim_type
+
+
+class EinsteinMSD(AnalysisBase):
+    """MSD via the Einstein relation.
+
+    Parameters
+    ----------
+    u : Universe or AtomGroup
+        Universe (with ``select`` applied) or an AtomGroup directly.
+    select : str
+        Selection string applied when ``u`` is a Universe. Default "all".
+    msd_type : {'xyz', 'xy', 'yz', 'xz', 'x', 'y', 'z'}
+        Components included (summed, MSD convention).
+    fft : bool
+        FFT algorithm (default) vs exact windowed summation.
+    """
+
+    def __init__(self, u, select: str = "all", msd_type: str = "xyz",
+                 fft: bool = True, **kwargs):
+        if isinstance(u, AtomGroup):
+            ag = u if select in ("all", None) else u.select_atoms(select)
+        else:
+            ag = u.select_atoms(select)
+        super().__init__(ag.universe.trajectory, **kwargs)
+        self.ag = ag
+        self.atomgroup = ag
+        self.msd_type = msd_type.lower()
+        self._dim, self.dim_fac = parse_dim_type(self.msd_type)
+        self.fft = fft
+        self.n_particles = len(ag)
+        self._run_called = False
+
+    def _prepare(self):
+        self.results.msds_by_particle = np.zeros(
+            (self.n_frames, self.n_particles)
+        )
+        self._positions = np.zeros(
+            (self.n_frames, self.n_particles, self.dim_fac)
+        )
+
+    def _validate_trajectory(self):
+        if not self._trajectory.has_positions:
+            raise NoDataError("MSD computation requires positions")
+
+    def _process_batch(self, batch):
+        if "positions" not in batch:
+            raise NoDataError("MSD computation requires positions")
+        self._positions = np.asarray(
+            batch["positions"][:, self.ag.indices], dtype=np.float64
+        )[:, :, self._dim]
+
+    def _single_frame(self):
+        if not self._ts.has_positions:
+            raise NoDataError("MSD computation requires positions")
+        self._positions[self._frame_index] = self.ag.positions[:, self._dim]
+
+    def _conclude(self):
+        pos = shard_frames_axis(self._positions)
+        kernel = (
+            ops.einstein_difference_fft
+            if self.fft
+            else ops.einstein_difference_windowed
+        )
+        by_particle = kernel(pos, reduce_mode="sum")[:, : self.n_particles]
+        self.results.msds_by_particle = np.asarray(by_particle)
+        self.results.timeseries = np.asarray(by_particle.mean(axis=1))
+        self._run_called = True

@@ -1,0 +1,186 @@
+"""Velocity autocorrelation function (VACF) and Green–Kubo diffusivity.
+
+TPU-native counterpart of the reference's ``VelocityAutocorr``
+(velocityautocorr.py:72-422), computing
+
+    C(j Δt) = 1/(N−j) · Σ_i v(iΔt)·v((i+j)Δt)
+
+averaged over all atoms in the group. Same public surface as the
+reference — ctor ``(atomgroup, dim_type, fft)``, ``run(start, stop,
+step)``, ``results.timeseries`` / ``results.vacf_by_particle``,
+``self_diffusivity_gk`` / ``_gk_odd``, ``plot_vacf`` /
+``plot_running_integral`` — but the frame loop is a single batched
+device transfer and both correlation paths are fused XLA kernels
+batched over every particle at once (the reference loops particles in
+Python on the FFT path, velocityautocorr.py:210-213, and lags in Python
+on the windowed path, :223-235).
+
+Results are in MDAnalysis standard units: (Å/ps)² against ps.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.groups import UpdatingAtomGroup
+from ..utils.errors import NoDataError
+from .. import ops
+from ..parallel.sharding import shard_frames_axis
+from .base import AnalysisBase
+from ._dims import parse_dim_type
+
+
+class VelocityAutocorr(AnalysisBase):
+    """Velocity autocorrelation function over an AtomGroup.
+
+    Parameters
+    ----------
+    atomgroup : AtomGroup
+        Atoms to average over. ``UpdatingAtomGroup`` is rejected — lag
+        correlations need a fixed particle set.
+    dim_type : {'xyz', 'xy', 'yz', 'xz', 'x', 'y', 'z'}
+        Components included in the VACF. Defaults to 'xyz'.
+    fft : bool
+        ``True`` (default): Wiener–Khinchin FFT algorithm, batched over
+        particles. ``False``: exact windowed per-lag summation.
+    """
+
+    def __init__(self, atomgroup, dim_type: str = "xyz", fft: bool = True,
+                 **kwargs):
+        super().__init__(atomgroup.universe.trajectory, **kwargs)
+        if isinstance(atomgroup, UpdatingAtomGroup):
+            raise TypeError(
+                "UpdatingAtomGroups are not valid for VACF computation"
+            )
+        self.dim_type = dim_type.lower()
+        self._dim, self.dim_fac = parse_dim_type(self.dim_type)
+        self.fft = fft
+        self.atomgroup = atomgroup
+        self.n_particles = len(atomgroup)
+        self._run_called = False
+
+    # --- engine hooks -------------------------------------------------------
+    def _prepare(self):
+        self.results.vacf_by_particle = np.zeros(
+            (self.n_frames, self.n_particles)
+        )
+        self._velocities = np.zeros(
+            (self.n_frames, self.n_particles, self.dim_fac)
+        )
+
+    def _validate_trajectory(self):
+        if not self._trajectory.has_velocities:
+            raise NoDataError(
+                "VACF computation requires velocities in the trajectory"
+            )
+
+    def _process_batch(self, batch):
+        if "velocities" not in batch:
+            raise NoDataError(
+                "VACF computation requires velocities in the trajectory"
+            )
+        v = batch["velocities"][:, self.atomgroup.indices]
+        self._velocities = np.asarray(v, dtype=np.float64)[:, :, self._dim]
+
+    def _single_frame(self):
+        if not self._ts.has_velocities:
+            raise NoDataError(
+                "VACF computation requires velocities in the trajectory"
+            )
+        self._velocities[self._frame_index] = self.atomgroup.velocities[
+            :, self._dim
+        ]
+
+    def _conclude(self):
+        vel = shard_frames_axis(self._velocities)
+        kernel = ops.acf_fft if self.fft else ops.acf_windowed
+        # slice away any particle padding added for even sharding
+        by_particle = kernel(vel)[:, : self.n_particles]
+        self.results.vacf_by_particle = np.asarray(by_particle)
+        self.results.timeseries = np.asarray(by_particle.mean(axis=1))
+        self._run_called = True
+
+    # --- derived quantities ---------------------------------------------------
+    def _require_run(self, what="plotting"):
+        if not self._run_called:
+            raise RuntimeError(f"Analysis must be run prior to {what}")
+
+    def self_diffusivity_gk(self, start: int = 0, stop: int = 0,
+                            step: int = 1):
+        """Green–Kubo self-diffusivity D = ∫C(t)dt / d via the trapezoid
+        rule (reference velocityautocorr.py:287-322)."""
+        self._require_run("computing self-diffusivity")
+        stop = self.n_frames if stop == 0 else stop
+        return float(
+            ops.trapezoid(
+                self.results.timeseries[start:stop:step],
+                self.times[start:stop:step],
+            )
+        ) / self.dim_fac
+
+    def self_diffusivity_gk_odd(self, start: int = 0, stop: int = 0,
+                                step: int = 1):
+        """Green–Kubo self-diffusivity via Simpson's rule; recommended
+        for an odd number of evenly spaced points (reference
+        velocityautocorr.py:324-360)."""
+        self._require_run("computing self-diffusivity")
+        stop = self.n_frames if stop == 0 else stop
+        return float(
+            ops.simpson(
+                self.results.timeseries[start:stop:step],
+                self.times[start:stop:step],
+            )
+        ) / self.dim_fac
+
+    # --- plotting -------------------------------------------------------------
+    def plot_vacf(
+        self,
+        start: int = 0,
+        stop: int = 0,
+        step: int = 1,
+        xlabel: str = "Time (ps)",
+        ylabel: str = "Velocity Autocorrelation Function (Å^2 / ps^2)",
+    ):
+        """VACF vs time plot; returns the matplotlib ``Line2D`` list
+        (reference velocityautocorr.py:240-285)."""
+        import matplotlib.pyplot as plt
+
+        self._require_run("plotting")
+        stop = self.n_frames if stop == 0 else stop
+        fig, ax_vacf = plt.subplots()
+        ax_vacf.set_xlabel(xlabel)
+        ax_vacf.set_ylabel(ylabel)
+        return ax_vacf.plot(
+            self.times[start:stop:step],
+            self.results.timeseries[start:stop:step],
+        )
+
+    def plot_running_integral(
+        self,
+        start: int = 0,
+        stop: int = 0,
+        step: int = 1,
+        initial: float = 0,
+        xlabel: str = "Time (ps)",
+        ylabel: str = "Running Integral of the VACF (Å^2 / ps)",
+    ):
+        """Running integral ∫C(t)dt / d vs time (reference
+        velocityautocorr.py:362-422)."""
+        import matplotlib.pyplot as plt
+
+        self._require_run("plotting")
+        stop = self.n_frames if stop == 0 else stop
+        running_integral = (
+            np.asarray(
+                ops.cumulative_trapezoid(
+                    self.results.timeseries[start:stop:step],
+                    self.times[start:stop:step],
+                    initial=initial,
+                )
+            )
+            / self.dim_fac
+        )
+        fig, ax = plt.subplots()
+        ax.set_xlabel(xlabel)
+        ax.set_ylabel(ylabel)
+        return ax.plot(self.times[start:stop:step], running_integral)

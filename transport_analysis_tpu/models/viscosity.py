@@ -1,0 +1,193 @@
+"""Einstein–Helfand shear viscosity.
+
+TPU-native counterpart of the reference's ``ViscosityHelfand``
+(viscosity.py:26-272): computes the "viscosity function" η(t)·t — the
+per-lag mean of squared differences of the mass-weighted
+position·velocity accumulator m·v·x, divided by 2·k_B·⟨V⟩·T (eq. 5 of
+Kirova & Norman 2015 J. Phys.: Conf. Ser. 653 012106) — and optionally
+its linear-fit slope over ``linear_fit_window`` as
+``results.viscosity``.
+
+Beyond the reference: an FFT path (``fft=True``, default) evaluates the
+Einstein differences in O(P·d·N log N) through the Kneller/Calandrini
+decomposition (ops/einstein.py) instead of the reference's O(N²·P·d)
+Python lag loop (viscosity.py:210-226); ``fft=False`` reproduces the
+reference's exact summation order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.groups import UpdatingAtomGroup
+from ..utils.errors import NoDataError
+from ..utils.units import constants
+from .. import ops
+from ..parallel.sharding import shard_frames_axis
+from .base import AnalysisBase
+from ._dims import parse_dim_type
+
+
+class ViscosityHelfand(AnalysisBase):
+    """Einstein–Helfand viscosity function over an AtomGroup.
+
+    Parameters
+    ----------
+    atomgroup : AtomGroup
+        Atoms to average over (``UpdatingAtomGroup`` rejected).
+    temp_avg : float
+        Average simulation temperature in K (default 300).
+    dim_type : {'xyz', 'xy', 'yz', 'xz', 'x', 'y', 'z'}
+        Components included (averaged, per the reference's
+        viscosity.py:222 convention).
+    linear_fit_window : (int, int), optional
+        Lag-index window for the linear fit; when given,
+        ``results.viscosity`` holds the fitted slope.
+    fft : bool
+        ``True`` (default): O(N log N) FFT evaluation of the Einstein
+        differences. ``False``: reference-exact windowed summation.
+    """
+
+    def __init__(
+        self,
+        atomgroup,
+        temp_avg: float = 300.0,
+        dim_type: str = "xyz",
+        linear_fit_window=None,
+        fft: bool = True,
+        **kwargs,
+    ):
+        super().__init__(atomgroup.universe.trajectory, **kwargs)
+        if isinstance(atomgroup, UpdatingAtomGroup):
+            raise TypeError(
+                "UpdatingAtomGroups are not valid for viscosity computation"
+            )
+        self.temp_avg = temp_avg
+        self.dim_type = dim_type.lower()
+        self.linear_fit_window = linear_fit_window
+        self._dim, self.dim_fac = parse_dim_type(self.dim_type)
+        self.fft = fft
+        self.atomgroup = atomgroup
+        self.n_particles = len(atomgroup)
+
+    # --- engine hooks ---------------------------------------------------------
+    def _prepare(self):
+        self.results.visc_by_particle = np.zeros(
+            (self.n_frames, self.n_particles)
+        )
+        self._volumes = np.zeros(self.n_frames)
+        self._masses = np.asarray(self.atomgroup.masses, dtype=np.float64)
+        self._masses_rs = self._masses.reshape(1, len(self._masses), 1)
+        self._velocities = np.zeros(
+            (self.n_frames, self.n_particles, self.dim_fac)
+        )
+        self._positions = np.zeros(
+            (self.n_frames, self.n_particles, self.dim_fac)
+        )
+        # keep the historical-typo fallback contract (MDAnalysis #4213)
+        try:
+            self.boltzmann = constants["Boltzmann_constant"]
+        except KeyError:  # pragma: no cover
+            self.boltzmann = constants["Boltzman_constant"]
+
+    _NO_DATA_MSG = (
+        "Helfand viscosity computation requires "
+        "velocities, positions, and box volume in the trajectory"
+    )
+
+    def _validate_trajectory(self):
+        traj = self._trajectory
+        if not (traj.has_velocities and traj.has_positions):
+            raise NoDataError(self._NO_DATA_MSG)
+
+    def _process_batch(self, batch):
+        if "velocities" not in batch or "positions" not in batch:
+            raise NoDataError(self._NO_DATA_MSG)
+        volumes = np.asarray(batch["volumes"], dtype=np.float64)
+        if np.any(volumes == 0.0):
+            raise NoDataError(self._NO_DATA_MSG)
+        self._volumes = volumes
+        idx = self.atomgroup.indices
+        self._velocities = np.asarray(
+            batch["velocities"][:, idx], dtype=np.float64
+        )[:, :, self._dim]
+        self._positions = np.asarray(
+            batch["positions"][:, idx], dtype=np.float64
+        )[:, :, self._dim]
+
+    def _single_frame(self):
+        if not (
+            self._ts.has_velocities
+            and self._ts.has_positions
+            and self._ts.volume != 0
+        ):
+            raise NoDataError(self._NO_DATA_MSG)
+        self._volumes[self._frame_index] = self._ts.volume
+        self._velocities[self._frame_index] = self.atomgroup.velocities[
+            :, self._dim
+        ]
+        self._positions[self._frame_index] = self.atomgroup.positions[
+            :, self._dim
+        ]
+
+    def _conclude(self):
+        self._vol_avg = float(np.average(self._volumes))
+        # Helfand accumulator A = m·v·x, shipped to device as one block
+        accum = self._masses_rs * self._velocities * self._positions
+        accum = shard_frames_axis(accum)
+        kernel = (
+            ops.einstein_difference_fft
+            if self.fft
+            else ops.einstein_difference_windowed
+        )
+        by_particle = kernel(accum, reduce_mode="mean")[
+            :, : self.n_particles
+        ]
+        denom = 2.0 * self.boltzmann * self._vol_avg * self.temp_avg
+        by_particle = np.asarray(by_particle) / denom
+        self.results.visc_by_particle = by_particle
+        self.results.timeseries = by_particle.mean(axis=1)
+
+        if self.linear_fit_window is not None:
+            fit_start, fit_end = (
+                self.linear_fit_window[0],
+                self.linear_fit_window[1],
+            )
+            # NOTE: mirrors the reference exactly (viscosity.py:207,240-245):
+            # x values are lagtimes[fit_start:fit_end] with
+            # lagtimes = arange(1, n_frames), i.e. offset by one relative
+            # to the timeseries indices being fit.
+            lagtimes = np.arange(1, self.n_frames)
+            slope, _ = ops.polyfit_linear(
+                lagtimes[fit_start:fit_end],
+                self.results.timeseries[fit_start:fit_end],
+            )
+            self.results.viscosity = float(slope)
+
+    # --- plotting -----------------------------------------------------------
+    def plot_viscosity_function(self, show: bool = False):
+        """Viscosity function vs lag-time, with the fit window marked
+        (reference viscosity.py:247-272)."""
+        import matplotlib.pyplot as plt
+
+        lagtimes = np.arange(0, self.n_frames)
+        plt.plot(
+            lagtimes, self.results.timeseries, label="Viscosity Function"
+        )
+        if self.linear_fit_window is not None:
+            fit_start, fit_end = (
+                self.linear_fit_window[0],
+                self.linear_fit_window[1],
+            )
+            plt.axvline(
+                fit_start, color="red", linestyle="--", label="Fit Start"
+            )
+            plt.axvline(
+                fit_end, color="blue", linestyle="--", label="Fit End"
+            )
+        plt.xlabel("Lag-time")
+        plt.ylabel("Viscosity Function")
+        plt.title("Viscosity Function vs Lag-time")
+        plt.legend()
+        if show:  # pragma: no cover
+            plt.show()

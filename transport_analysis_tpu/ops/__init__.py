@@ -1,0 +1,20 @@
+from .acf import acf_fft, acf_windowed
+from .einstein import einstein_difference_fft, einstein_difference_windowed, msd_fft
+from .integrate import (
+    trapezoid,
+    simpson,
+    cumulative_trapezoid,
+    polyfit_linear,
+)
+
+__all__ = [
+    "acf_fft",
+    "acf_windowed",
+    "einstein_difference_fft",
+    "einstein_difference_windowed",
+    "msd_fft",
+    "trapezoid",
+    "simpson",
+    "cumulative_trapezoid",
+    "polyfit_linear",
+]

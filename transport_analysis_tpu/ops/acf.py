@@ -1,0 +1,126 @@
+"""Autocorrelation kernels (Wiener–Khinchin FFT + exact windowed).
+
+The reference computes the VACF either through ``tidynamics.acf`` — an
+FFT autocorrelation called *serially per particle* in a Python loop
+(reference velocityautocorr.py:210-213) — or through a per-lag numpy
+"windowed" loop (velocityautocorr.py:223-235). Both paths compute
+
+    C(lag, p) = 1/(N-lag) * sum_{i<N-lag} sum_d x[i,p,d] * x[i+lag,p,d]
+
+Here both are single fused XLA computations batched over every particle
+and component at once:
+
+* ``acf_fft``      — zero-pad to 2·next_pow2(N), batched rfft → |·|² →
+                     irfft, truncate, normalize by (N-lag). O(P·d·N logN)
+                     with the whole particle batch in one FFT call.
+* ``acf_windowed`` — direct per-lag sum, exactly the reference's
+                     summation order, as a lax.fori_loop (compiles to one
+                     kernel; no Python-level lag loop).
+
+Precision: transport properties need float64-grade results (reference
+velocityautocorr.py:208). On CPU we run complex128 FFTs natively. TPUs
+have no complex128 FFT, so there the FFT path falls back to complex64
+with float64 pre/post arithmetic; the windowed path runs in genuine
+(emulated) float64 on TPU and is the bit-accurate option there.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def next_pow_2(n: int) -> int:
+    """Smallest power of two >= n."""
+    m = 1
+    while m < n:
+        m *= 2
+    return m
+
+
+def _fft_supports_f64() -> bool:
+    """complex128 FFT is available on CPU but not on TPU backends
+    (which may report 'tpu' or a plugin name such as 'axon')."""
+    return jax.default_backend() in ("cpu",)
+
+
+def _resolve_fft_dtype(dtype) -> jnp.dtype:
+    if dtype == jnp.float64 and not _fft_supports_f64():
+        return jnp.dtype(jnp.float32)
+    return jnp.dtype(dtype)
+
+
+@partial(jax.jit, static_argnames=("fft_dtype",))
+def _acf_fft_impl(x: jax.Array, fft_dtype) -> jax.Array:
+    N = x.shape[0]
+    M = 2 * next_pow_2(N)
+    # FFT over the frame axis, batched over (particles, dims)
+    f = jnp.fft.rfft(x.astype(fft_dtype), n=M, axis=0)
+    s = f * jnp.conj(f)
+    raw = jnp.fft.irfft(s, n=M, axis=0)[:N].real.astype(x.dtype)
+    # sum over components (the dot product), normalize per lag
+    raw = jnp.sum(raw, axis=-1)
+    norm = (N - jnp.arange(N, dtype=x.dtype))[:, None]
+    return raw / norm
+
+
+def acf_fft(x) -> jax.Array:
+    """Batched FFT autocorrelation.
+
+    Parameters
+    ----------
+    x : (N, P, d) array — N frames, P particles, d components.
+
+    Returns
+    -------
+    (N, P) array: per-particle autocorrelation vs lag.
+    """
+    x = jnp.asarray(x)
+    if x.ndim == 2:
+        x = x[:, :, None]
+    return _acf_fft_impl(x, _resolve_fft_dtype(x.dtype))
+
+
+@jax.jit
+def _acf_windowed_impl(x: jax.Array) -> jax.Array:
+    N, P, _ = x.shape
+    frame_idx = jnp.arange(N)
+
+    def body(lag, out):
+        shifted = jnp.roll(x, -lag, axis=0)
+        prod = jnp.sum(x * shifted, axis=-1)  # (N, P) dot over components
+        mask = (frame_idx < N - lag)[:, None]
+        s = jnp.sum(jnp.where(mask, prod, 0), axis=0)
+        return out.at[lag].set(s / (N - lag))
+
+    return jax.lax.fori_loop(0, N, body, jnp.zeros((N, P), x.dtype))
+
+
+def acf_windowed(x) -> jax.Array:
+    """Exact per-lag windowed autocorrelation, (N, P, d) → (N, P).
+
+    Same summation order as the reference's simple algorithm
+    (velocityautocorr.py:223-235); O(N²·P·d) but fully on-device.
+    """
+    x = jnp.asarray(x)
+    if x.ndim == 2:
+        x = x[:, :, None]
+    return _acf_windowed_impl(x)
+
+
+def acf_fft_numpy(x: np.ndarray) -> np.ndarray:
+    """Host float64 Wiener–Khinchin autocorrelation (tidynamics.acf
+    parity, used as an independent oracle in tests and as the CPU
+    baseline in bench.py)."""
+    x = np.asarray(x, dtype=np.float64)
+    if x.ndim == 2:
+        x = x[:, :, None]
+    N = x.shape[0]
+    M = 2 * next_pow_2(N)
+    f = np.fft.rfft(x, n=M, axis=0)
+    raw = np.fft.irfft(f * np.conj(f), n=M, axis=0)[:N].real
+    raw = raw.sum(axis=-1)
+    return raw / (N - np.arange(N))[:, None]

@@ -1,0 +1,162 @@
+"""Matmul-decomposition FFT for TPU (MXU-native).
+
+The TPU backend exposes no FFT primitive at all (jnp.fft.* →
+UNIMPLEMENTED, and complex128 is unsupported as a type). This module
+implements the DFT as a recursion of *dense matrix multiplies* — the
+Bailey four-step / Cooley–Tukey factorization:
+
+    DFT_N = (DFT_N2 ⊗ I) · twiddle · (I ⊗ DFT_N1),  N = N1·N2
+
+Each level applies a small (≤256²) DFT matrix to a huge batch with a
+single real-matmul quartet — exactly the shape the MXU wants (large
+batched GEMMs) — followed by an elementwise twiddle. Depth is
+log_256(N) ≈ 2-3 levels, so HBM traffic is ~3 passes instead of the
+~log2(N) passes of a radix-2 FFT. Complex values are carried as
+separate (re, im) real arrays, which keeps everything in plain float32
+or float64 (TPU float64 matmuls are software-emulated but accurate to
+~1e-15 — verified on hardware — giving a genuine float64-grade
+spectral path that the platform itself doesn't offer).
+
+Real-input autocorrelation uses the classic two-for-one packing: two
+real series ride one complex FFT (z = x1 + i·x2), and because power
+spectra are real, the inverse transform also carries two results at
+once — zero FFT-count overhead versus rfft.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# largest DFT applied as a single dense matmul; 256 keeps the DFT matrix
+# MXU-tile aligned (2×128) and the recursion shallow
+_BASE = 256
+
+
+def _dft_matrices(n: int, sign: float, dtype) -> tuple[np.ndarray, np.ndarray]:
+    """(cos, sin) parts of the n-point DFT matrix W[k, j] = e^{sign·2πi·kj/n},
+    built on host in float64 and cast once."""
+    k = np.arange(n)
+    theta = (2.0 * np.pi / n) * np.outer(k, k)
+    c = np.cos(theta).astype(dtype)
+    s = (np.sign(sign) * np.sin(theta)).astype(dtype)
+    return c, s
+
+
+def _apply_dft(re, im, sign: float):
+    """Dense DFT along axis 0 (length ≤ _BASE) via four real matmuls."""
+    n = re.shape[0]
+    c, s = _dft_matrices(n, sign, re.dtype)
+    c = jnp.asarray(c)
+    s = jnp.asarray(s)
+    # (c + i·s) @ (re + i·im)
+    out_re = c @ re - s @ im
+    out_im = c @ im + s @ re
+    return out_re, out_im
+
+
+def _twiddles(n1: int, n2: int, sign: float, dtype):
+    """Twiddle factors W_{n1·n2}^{k1·j2} with shape (n1, n2)."""
+    k1 = np.arange(n1)
+    j2 = np.arange(n2)
+    theta = (2.0 * np.pi / (n1 * n2)) * np.outer(k1, j2)
+    c = np.cos(theta).astype(dtype)
+    s = (np.sign(sign) * np.sin(theta)).astype(dtype)
+    return jnp.asarray(c), jnp.asarray(s)
+
+
+def _fft_recursive(re, im, sign: float):
+    """Complex DFT along axis 0 of (N, B) re/im arrays. N = 2^k.
+
+    Returns arrays in natural frequency order.
+    """
+    n = re.shape[0]
+    if n <= _BASE:
+        return _apply_dft(re, im, sign)
+
+    n1 = _BASE
+    n2 = n // n1
+    b = re.shape[1]
+    # x[j1·n2 + j2] → view (n1, n2·B): DFT over j1 is a strided
+    # decimation, i.e. reshape with j1 as the leading axis
+    re2 = re.reshape(n1, n2 * b)
+    im2 = im.reshape(n1, n2 * b)
+    re2, im2 = _apply_dft(re2, im2, sign)  # k1 on axis 0
+
+    # twiddle W^{k1·j2}
+    tc, ts = _twiddles(n1, n2, sign, re.dtype)
+    tc = tc[:, :, None]
+    ts = ts[:, :, None]
+    re3 = re2.reshape(n1, n2, b)
+    im3 = im2.reshape(n1, n2, b)
+    re4 = re3 * tc - im3 * ts
+    im4 = re3 * ts + im3 * tc
+
+    # DFT over j2 for each k1: move j2 to the front and recurse
+    re5 = jnp.moveaxis(re4, 1, 0).reshape(n2, n1 * b)
+    im5 = jnp.moveaxis(im4, 1, 0).reshape(n2, n1 * b)
+    re6, im6 = _fft_recursive(re5, im5, sign)  # k2 on axis 0
+
+    # output index k = k2·n1 + k1: (n2, n1, b) → reshape merges correctly
+    return re6.reshape(n * b)[: n * b].reshape(n, b), im6.reshape(n, b)
+
+
+def matmul_fft(re, im, inverse: bool = False):
+    """Complex FFT along axis 0 via MXU matmul decomposition.
+
+    ``re``/``im``: (N, B) with N a power of two. The inverse transform
+    includes the 1/N scale.
+    """
+    sign = 1.0 if inverse else -1.0
+    out_re, out_im = _fft_recursive(re, im, sign)
+    if inverse:
+        out_re = out_re / re.shape[0]
+        out_im = out_im / re.shape[0]
+    return out_re, out_im
+
+
+def _reverse_index(z):
+    """z[(M - k) % M] along axis 0."""
+    return jnp.roll(jnp.flip(z, axis=0), 1, axis=0)
+
+
+@partial(jax.jit, static_argnames=("n_out",))
+def raw_autocorr_matmul(x, n_out: int):
+    """Raw (unnormalized) linear autocorrelation per column.
+
+    ``x``: (M, S) real, already zero-padded to M ≥ 2·series_length with
+    M a power of two. Returns (n_out, S) with
+    out[lag, s] = Σ_i x[i, s]·x[i+lag, s].
+
+    Packs column pairs into complex FFTs (two real series per
+    transform, recovered via Hermitian symmetry), so the FFT count is
+    the same as a native rfft implementation.
+    """
+    m, s = x.shape
+    s_pad = s + (s % 2)
+    if s_pad != s:
+        x = jnp.pad(x, ((0, 0), (0, 1)))
+    half = s_pad // 2
+    re = x[:, :half]
+    im = x[:, half:]
+
+    zr, zi = matmul_fft(re, im, inverse=False)
+    zr_rev = _reverse_index(zr)
+    zi_rev = _reverse_index(zi)
+
+    # F1 = (Z + conj(Z_rev))/2 ; F2 = (Z - conj(Z_rev))/(2i)
+    f1r = 0.5 * (zr + zr_rev)
+    f1i = 0.5 * (zi - zi_rev)
+    f2r = 0.5 * (zi + zi_rev)
+    f2i = 0.5 * (zr_rev - zr)
+
+    s1 = f1r * f1r + f1i * f1i  # |F1|² (real, symmetric)
+    s2 = f2r * f2r + f2i * f2i
+
+    # inverse transform of (s1 + i·s2): real part → acf1, imag → acf2
+    gr, gi = matmul_fft(s1, s2, inverse=True)
+    out = jnp.concatenate([gr[:n_out], gi[:n_out]], axis=1)
+    return out[:, :s]
