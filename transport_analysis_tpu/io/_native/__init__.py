@@ -1,0 +1,128 @@
+"""Native (C++) decode fast paths, lazily compiled and ctypes-bound.
+
+``get_trr_decoder()`` returns a batched TRR decode callable backed by
+libtrrdecode.so, compiling it with g++ on first use and caching the
+shared object next to the source. Falls back to ``None`` (pure-Python
+decode) if no toolchain is available or
+``TRANSPORT_ANALYSIS_TPU_NO_NATIVE`` is set.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "trr_decode.cpp")
+_SO = os.path.join(_HERE, "libtrrdecode.so")
+
+_lock = threading.Lock()
+_lib = None
+_lib_failed = False
+
+
+def _load_library():
+    global _lib, _lib_failed
+    if _lib is not None or _lib_failed:
+        return _lib
+    with _lock:
+        if _lib is not None or _lib_failed:
+            return _lib
+        if os.environ.get("TRANSPORT_ANALYSIS_TPU_NO_NATIVE"):
+            _lib_failed = True
+            return None
+        try:
+            if not os.path.exists(_SO) or (
+                os.path.getmtime(_SO) < os.path.getmtime(_SRC)
+            ):
+                subprocess.run(
+                    [
+                        "g++", "-O3", "-shared", "-fPIC",
+                        "-o", _SO, _SRC, "-lpthread",
+                    ],
+                    check=True,
+                    capture_output=True,
+                )
+            lib = ctypes.CDLL(_SO)
+            lib.trr_decode_batch.restype = ctypes.c_int
+            lib.trr_decode_batch.argtypes = [
+                ctypes.c_char_p,                    # buf
+                np.ctypeslib.ndpointer(np.int64),   # data_offsets
+                ctypes.c_int64,                     # n_frames
+                ctypes.c_int64,                     # natoms
+                ctypes.c_int,                       # is_double
+                ctypes.c_int64,                     # box_size
+                ctypes.c_int64,                     # x_size
+                ctypes.c_int64,                     # v_size
+                ctypes.c_void_p,                    # positions
+                ctypes.c_void_p,                    # velocities
+                ctypes.c_void_p,                    # volumes
+                ctypes.c_int,                       # n_threads
+            ]
+            _lib = lib
+        except Exception:
+            _lib_failed = True
+    return _lib
+
+
+def get_trr_decoder():
+    """Batched TRR decoder: callable(reader, indices) → batch dict,
+    or None when the native library is unavailable."""
+    lib = _load_library()
+    if lib is None:
+        return None
+
+    def decode(reader, indices) -> dict:
+        index = reader._index
+        first = index[0]
+        # layouts must be uniform across the selection for one native call
+        for i in indices:
+            info = index[int(i)]
+            if (
+                info.natoms != first.natoms
+                or info.double != first.double
+                or info.box_size != first.box_size
+                or info.x_size != first.x_size
+                or info.v_size != first.v_size
+            ):
+                return reader._read_frames_batch_py(indices)
+
+        F = len(indices)
+        offsets = np.array(
+            [index[int(i)].data_offset for i in indices], np.int64
+        )
+        out = {"frames": np.asarray(indices, np.int64)}
+        positions = velocities = None
+        if first.x_size:
+            positions = np.empty((F, reader.n_atoms, 3), np.float32)
+            out["positions"] = positions
+        if first.v_size:
+            velocities = np.empty((F, reader.n_atoms, 3), np.float32)
+            out["velocities"] = velocities
+        volumes = np.zeros(F, np.float64)
+        out["volumes"] = volumes
+        out["times"] = np.array(
+            [index[int(i)].time for i in indices], np.float64
+        )
+        n_threads = min(8, os.cpu_count() or 1)
+        lib.trr_decode_batch(
+            reader._buf,
+            offsets,
+            F,
+            reader.n_atoms,
+            1 if first.double else 0,
+            first.box_size,
+            first.x_size,
+            first.v_size,
+            None if positions is None else positions.ctypes.data,
+            None if velocities is None else velocities.ctypes.data,
+            volumes.ctypes.data,
+            n_threads,
+        )
+        return out
+
+    return decode

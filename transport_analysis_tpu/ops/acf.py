@@ -26,8 +26,6 @@ with float64 pre/post arithmetic; the windowed path runs in genuine
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -41,30 +39,35 @@ def next_pow_2(n: int) -> int:
     return m
 
 
-def _fft_supports_f64() -> bool:
-    """complex128 FFT is available on CPU but not on TPU backends
-    (which may report 'tpu' or a plugin name such as 'axon')."""
+def _has_native_fft() -> bool:
+    """Only the CPU backend provides an FFT primitive; TPU backends
+    (reported as 'tpu' or a plugin name such as 'axon') provide none,
+    so they take the MXU matmul-FFT path (ops/fft.py)."""
     return jax.default_backend() in ("cpu",)
 
 
-def _resolve_fft_dtype(dtype) -> jnp.dtype:
-    if dtype == jnp.float64 and not _fft_supports_f64():
-        return jnp.dtype(jnp.float32)
-    return jnp.dtype(dtype)
-
-
-@partial(jax.jit, static_argnames=("fft_dtype",))
-def _acf_fft_impl(x: jax.Array, fft_dtype) -> jax.Array:
+@jax.jit
+def _raw_autocorr_native(x: jax.Array) -> jax.Array:
+    """Unnormalized linear autocorrelation per column via the backend's
+    native FFT. x: (N, S) → (N, S) with out[lag] = Σ_i x[i]·x[i+lag]."""
     N = x.shape[0]
     M = 2 * next_pow_2(N)
-    # FFT over the frame axis, batched over (particles, dims)
-    f = jnp.fft.rfft(x.astype(fft_dtype), n=M, axis=0)
-    s = f * jnp.conj(f)
-    raw = jnp.fft.irfft(s, n=M, axis=0)[:N].real.astype(x.dtype)
-    # sum over components (the dot product), normalize per lag
-    raw = jnp.sum(raw, axis=-1)
-    norm = (N - jnp.arange(N, dtype=x.dtype))[:, None]
-    return raw / norm
+    f = jnp.fft.rfft(x, n=M, axis=0)
+    return jnp.fft.irfft(f * jnp.conj(f), n=M, axis=0)[:N].real.astype(
+        x.dtype
+    )
+
+
+def raw_autocorr(x: jax.Array) -> jax.Array:
+    """Backend-dispatched raw autocorrelation over axis 0 of (N, S)."""
+    N = x.shape[0]
+    if _has_native_fft():
+        return _raw_autocorr_native(x)
+    from .fft import raw_autocorr_matmul
+
+    M = 2 * next_pow_2(N)
+    x_pad = jnp.pad(x, ((0, M - N), (0, 0)))
+    return raw_autocorr_matmul(x_pad, N)
 
 
 def acf_fft(x) -> jax.Array:
@@ -81,7 +84,11 @@ def acf_fft(x) -> jax.Array:
     x = jnp.asarray(x)
     if x.ndim == 2:
         x = x[:, :, None]
-    return _acf_fft_impl(x, _resolve_fft_dtype(x.dtype))
+    N, P, d = x.shape
+    raw = raw_autocorr(x.reshape(N, P * d)).reshape(N, P, d)
+    raw = jnp.sum(raw, axis=-1)
+    norm = (N - jnp.arange(N, dtype=x.dtype))[:, None]
+    return raw / norm
 
 
 @jax.jit

@@ -32,7 +32,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .acf import _resolve_fft_dtype, next_pow_2
+from .acf import raw_autocorr
 
 
 @partial(jax.jit, static_argnames=("reduce_mode",))
@@ -65,14 +65,12 @@ def einstein_difference_windowed(a, reduce_mode: str = "mean") -> jax.Array:
     return _einstein_windowed_impl(a, reduce_mode)
 
 
-@partial(jax.jit, static_argnames=("reduce_mode", "fft_dtype"))
-def _einstein_fft_impl(a: jax.Array, reduce_mode: str, fft_dtype) -> jax.Array:
+@partial(jax.jit, static_argnames=("reduce_mode",))
+def _einstein_fft_impl(a: jax.Array, reduce_mode: str) -> jax.Array:
     N, P, d = a.shape
-    M = 2 * next_pow_2(N)
 
     # C(lag, p) = sum_i sum_d a[i]·a[i+lag]   (raw, unnormalized)
-    f = jnp.fft.rfft(a.astype(fft_dtype), n=M, axis=0)
-    corr = jnp.fft.irfft(f * jnp.conj(f), n=M, axis=0)[:N].real.astype(a.dtype)
+    corr = raw_autocorr(a.reshape(N, P * d)).reshape(N, P, d)
     corr = jnp.sum(corr, axis=-1)  # (N, P)
 
     # prefix sums of |a_i|² over components
@@ -103,7 +101,7 @@ def einstein_difference_fft(a, reduce_mode: str = "mean") -> jax.Array:
     a = jnp.asarray(a)
     if a.ndim == 2:
         a = a[:, :, None]
-    return _einstein_fft_impl(a, reduce_mode, _resolve_fft_dtype(a.dtype))
+    return _einstein_fft_impl(a, reduce_mode)
 
 
 def msd_fft(r) -> jax.Array:
