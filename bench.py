@@ -1,0 +1,160 @@
+"""Benchmark: fused VACF + Einstein-Helfand viscosity throughput.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Workload (BASELINE.json configs #2/#3): per-particle VACF via FFT
+autocorrelation + Green-Kubo diffusivity, and the Helfand viscosity
+function + linear-fit slope, on an (N_FRAMES, N_ATOMS, 3) float64
+velocity/position block resident on the accelerator.
+
+Metric: effective atom-frame-lags per second — both analyses produce
+Sum_lag (N - lag) = N(N+1)/2 lag-window reductions per atom, so
+
+    value = 2 * N(N+1)/2 * P / wall_seconds
+
+(the work unit of the reference's windowed algorithm; the FFT engines
+produce identical output in O(N log N), which is exactly the point).
+
+Baseline: the reference's own algorithm structure on this host —
+tidynamics-style FFT autocorrelation called serially per particle
+(reference velocityautocorr.py:210-213) plus the O(N^2) windowed numpy
+Helfand lag loop (viscosity.py:210-226), the only viscosity algorithm
+the reference has. The Helfand baseline is timed on a lag subsample and
+extrapolated by measured per-element throughput (full run would take
+hours). vs_baseline = value / baseline_value = end-to-end speedup.
+
+Env overrides: BENCH_FRAMES, BENCH_ATOMS, BENCH_DTYPE (float32|float64).
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+# persistent compile cache: repeated bench runs skip recompilation
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.expanduser("~/.cache/transport_analysis_tpu_xla"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+import transport_analysis_tpu  # noqa: F401  (x64 on)
+from transport_analysis_tpu import ops
+from transport_analysis_tpu.ops.acf import acf_fft_numpy
+from transport_analysis_tpu.utils.units import constants
+
+N_FRAMES = int(os.environ.get("BENCH_FRAMES", 8192))
+N_ATOMS = int(os.environ.get("BENCH_ATOMS", 512))
+DTYPE = np.dtype(os.environ.get("BENCH_DTYPE", "float64"))
+KB = constants["Boltzmann_constant"]
+TEMP = 300.0
+VOL = 8000.0
+
+
+def make_data(n_frames, n_atoms, dtype):
+    rng = np.random.RandomState(0)
+    vel = rng.normal(0, 5, (n_frames, n_atoms, 3)).astype(dtype)
+    pos = np.cumsum(vel, axis=0) * 0.002 + rng.uniform(
+        0, 20, (1, n_atoms, 3)
+    ).astype(dtype)
+    masses = rng.uniform(1, 16, n_atoms).astype(dtype)
+    times = np.arange(n_frames, dtype=np.float64) * 0.002
+    return vel, pos, masses, times
+
+
+def tpu_pipeline(vel, pos, masses, times):
+    """Fused device pipeline: VACF + GK-D + Helfand function + slope."""
+
+    def step(vel, pos, masses, times):
+        vacf_bp = ops.acf_fft(vel)
+        vacf_ts = vacf_bp.mean(axis=1)
+        diffusivity = ops.trapezoid(vacf_ts, times) / 3.0
+        accum = masses[None, :, None] * vel * pos
+        visc_bp = ops.einstein_difference_fft(accum, "mean")
+        visc_ts = visc_bp.mean(axis=1) / (2.0 * KB * VOL * TEMP)
+        n = vel.shape[0]
+        lags = jnp.arange(1, n, dtype=visc_ts.dtype)
+        w = slice(n // 8, n // 2)
+        slope, _ = ops.polyfit_linear(lags[w], visc_ts[w])
+        return vacf_ts, diffusivity, visc_ts, slope
+
+    fn = jax.jit(step)
+    args = tuple(jax.device_put(a) for a in (vel, pos, masses, times))
+    out = jax.block_until_ready(fn(*args))  # compile + warm
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = jax.block_until_ready(fn(*args))
+    wall = (time.perf_counter() - t0) / reps
+    return wall, out
+
+
+def baseline_pipeline(vel, pos, masses, times):
+    """Reference-structured host implementation, partially extrapolated."""
+    n, p, d = vel.shape
+    vel64 = vel.astype(np.float64)
+    pos64 = pos.astype(np.float64)
+
+    # VACF: FFT autocorrelation per particle, serial Python loop
+    t0 = time.perf_counter()
+    vacf_bp = np.zeros((n, p))
+    for i in range(p):
+        # tidynamics.acf semantics: components summed per particle
+        vacf_bp[:, i] = acf_fft_numpy(vel64[:, i, :]).sum(axis=1)
+    vacf_ts = vacf_bp.mean(axis=1)
+    np.trapezoid(vacf_ts, times)
+    vacf_time = time.perf_counter() - t0
+
+    # Helfand: windowed numpy lag loop, timed on a subsample of lags
+    accum = masses[None, :, None].astype(np.float64) * vel64 * pos64
+    k = min(64, n - 1)
+    t0 = time.perf_counter()
+    visc = np.zeros((n, p))
+    for lag in range(1, k + 1):
+        diff = accum[:-lag] - accum[lag:]
+        visc[lag] = np.square(diff).mean(axis=-1).mean(axis=0)
+    sub_time = time.perf_counter() - t0
+    sub_elements = sum((n - lag) * p * d for lag in range(1, k + 1))
+    total_elements = (n * (n - 1) // 2) * p * d
+    helfand_time = sub_time * total_elements / sub_elements
+
+    return vacf_time + helfand_time, vacf_ts
+
+
+def main():
+    vel, pos, masses, times = make_data(N_FRAMES, N_ATOMS, DTYPE)
+    wall, out = tpu_pipeline(vel, pos, masses, times)
+    base_wall, base_vacf = baseline_pipeline(vel, pos, masses, times)
+
+    # accuracy cross-check against the host float64 reference
+    ours = np.asarray(out[0])
+    denom = np.max(np.abs(base_vacf))
+    rel_err = float(np.max(np.abs(ours - base_vacf)) / denom)
+
+    lag_work = 2 * (N_FRAMES * (N_FRAMES + 1) // 2) * N_ATOMS
+    value = lag_work / wall
+    baseline_value = lag_work / base_wall
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    f"VACF+Helfand effective atom-frame-lags/s "
+                    f"(N={N_FRAMES}, P={N_ATOMS}, d=3, {DTYPE.name}, "
+                    f"backend={jax.default_backend()}, "
+                    f"max_rel_err_vs_f64_host={rel_err:.2e})"
+                ),
+                "value": value,
+                "unit": "atom-frame-lags/s",
+                "vs_baseline": value / baseline_value,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,150 @@
+"""DCD / Amber NetCDF / H5MD round-trip tests, plus the reference's
+no-velocities error-path scenario on DCD (reference
+test_viscosity.py:33-40)."""
+
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+import transport_analysis_tpu as ta
+from transport_analysis_tpu import ViscosityHelfand, VelocityAutocorr
+from transport_analysis_tpu.core.topology import Topology
+from transport_analysis_tpu.io.dcd import DCDReader, DCDWriter
+from transport_analysis_tpu.io.netcdf import NCDFReader, NCDFWriter
+from transport_analysis_tpu.utils.errors import NoDataError
+
+
+@pytest.fixture()
+def frames():
+    rng = np.random.RandomState(7)
+    n_frames, n_atoms = 6, 9
+    pos = rng.uniform(0, 25, (n_frames, n_atoms, 3)).astype(np.float32)
+    vel = rng.normal(0, 8, (n_frames, n_atoms, 3)).astype(np.float32)
+    dims = [25.0, 26.0, 27.0, 90.0, 90.0, 90.0]
+    return pos, vel, dims
+
+
+class TestDCD:
+    def test_roundtrip(self, tmp_path, frames):
+        pos, vel, dims = frames
+        path = tmp_path / "t.dcd"
+        with DCDWriter(path, pos.shape[1], dt=0.5) as w:
+            for i in range(len(pos)):
+                w.write(pos[i], dimensions=dims)
+        r = DCDReader(path)
+        assert r.n_frames == len(pos)
+        assert r.n_atoms == pos.shape[1]
+        assert not r.has_velocities
+        ts = r[2]
+        assert_allclose(ts.positions, pos[2], rtol=1e-6)
+        assert_allclose(ts.dimensions, dims, atol=1e-10)
+
+    def test_no_velocities_error_path(self, tmp_path, frames):
+        """ViscosityHelfand on a DCD must raise NoDataError (reference
+        error-path parity)."""
+        pos, vel, dims = frames
+        path = tmp_path / "t.dcd"
+        with DCDWriter(path, pos.shape[1]) as w:
+            for i in range(len(pos)):
+                w.write(pos[i], dimensions=dims)
+        top = Topology(pos.shape[1])
+        top.add_attr("masses", np.ones(pos.shape[1]))
+        u = ta.Universe(top, DCDReader(path))
+        with pytest.raises(NoDataError, match="Helfand viscosity"):
+            ViscosityHelfand(u.atoms).run()
+        with pytest.raises(NoDataError, match="requires velocities"):
+            VelocityAutocorr(u.atoms).run()
+
+    def test_batch_read(self, tmp_path, frames):
+        pos, vel, dims = frames
+        path = tmp_path / "t.dcd"
+        with DCDWriter(path, pos.shape[1]) as w:
+            for i in range(len(pos)):
+                w.write(pos[i], dimensions=dims)
+        r = DCDReader(path)
+        batch = r.read_frames_batch([0, 3, 5])
+        assert_allclose(batch["positions"], pos[[0, 3, 5]], rtol=1e-6)
+        assert_allclose(batch["volumes"], 25.0 * 26.0 * 27.0, rtol=1e-10)
+
+
+class TestNCDF:
+    def test_roundtrip_with_velocities(self, tmp_path, frames):
+        pos, vel, dims = frames
+        path = tmp_path / "t.nc"
+        with NCDFWriter(path, pos.shape[1], velocities=True) as w:
+            for i in range(len(pos)):
+                w.write(pos[i], velocities=vel[i], dimensions=dims,
+                        time=0.1 * i)
+        r = NCDFReader(path)
+        assert r.n_frames == len(pos)
+        assert r.has_velocities
+        ts = r[4]
+        assert_allclose(ts.positions, pos[4], rtol=1e-6)
+        # velocity round-trips through the 20.455 scale factor in f32
+        assert_allclose(ts.velocities, vel[4], rtol=1e-5, atol=1e-4)
+        assert_allclose(ts.time, 0.4, atol=1e-12)
+        assert_allclose(ts.dimensions, dims, atol=1e-12)
+
+    def test_vacf_from_ncdf(self, tmp_path, frames):
+        """End-to-end: the reference's NCBOX-style scenario — VACF on a
+        NetCDF box with velocities."""
+        pos, vel, dims = frames
+        path = tmp_path / "t.nc"
+        with NCDFWriter(path, pos.shape[1], velocities=True) as w:
+            for i in range(len(pos)):
+                w.write(pos[i], velocities=vel[i], dimensions=dims,
+                        time=0.1 * i)
+        u = ta.Universe(Topology(pos.shape[1]), NCDFReader(path))
+        v = VelocityAutocorr(u.atoms).run()
+        expected0 = np.mean(np.sum(vel.astype(np.float64) ** 2, axis=-1))
+        assert_allclose(v.results.timeseries[0], expected0, rtol=1e-4)
+
+    def test_batch(self, tmp_path, frames):
+        pos, vel, dims = frames
+        path = tmp_path / "t.nc"
+        with NCDFWriter(path, pos.shape[1], velocities=True) as w:
+            for i in range(len(pos)):
+                w.write(pos[i], velocities=vel[i], dimensions=dims,
+                        time=0.1 * i)
+        r = NCDFReader(path)
+        batch = r.read_frames_batch([1, 4])
+        assert_allclose(batch["positions"], pos[[1, 4]], rtol=1e-6)
+        assert_allclose(batch["velocities"], vel[[1, 4]], rtol=1e-5,
+                        atol=1e-4)
+        assert_allclose(batch["times"], [0.1, 0.4], atol=1e-12)
+
+
+class TestH5MD:
+    def test_roundtrip(self, tmp_path, frames):
+        h5py = pytest.importorskip("h5py")  # noqa: F841
+        from transport_analysis_tpu.io.h5md import H5MDReader, H5MDWriter
+
+        pos, vel, dims = frames
+        path = tmp_path / "t.h5md"
+        with H5MDWriter(path, pos.shape[1], velocities=True) as w:
+            for i in range(len(pos)):
+                w.write(pos[i], velocities=vel[i], dimensions=dims,
+                        time=0.2 * i)
+        r = H5MDReader(path)
+        assert r.n_frames == len(pos)
+        assert r.has_velocities
+        ts = r[3]
+        assert_allclose(ts.positions, pos[3], rtol=1e-6)
+        assert_allclose(ts.velocities, vel[3], rtol=1e-6)
+        assert_allclose(ts.time, 0.6, atol=1e-12)
+        batch = r.read_frames_batch([0, 5])
+        assert_allclose(batch["positions"], pos[[0, 5]], rtol=1e-6)
+        assert_allclose(batch["volumes"], 25.0 * 26.0 * 27.0, rtol=1e-10)
+
+    def test_universe_dispatch(self, tmp_path, frames):
+        pytest.importorskip("h5py")
+        from transport_analysis_tpu.io.h5md import H5MDWriter
+
+        pos, vel, dims = frames
+        path = tmp_path / "t.h5md"
+        with H5MDWriter(path, pos.shape[1], velocities=True) as w:
+            for i in range(len(pos)):
+                w.write(pos[i], velocities=vel[i], dimensions=dims)
+        u = ta.Universe(Topology(pos.shape[1]),
+                        ta.io.open_trajectory(path))
+        assert u.trajectory.format == "H5MD"

@@ -46,6 +46,9 @@ from .core.groups import AtomGroup, UpdatingAtomGroup  # noqa: E402
 from .models.velocityautocorr import VelocityAutocorr  # noqa: E402
 from .models.viscosity import ViscosityHelfand  # noqa: E402
 from .models.msd import EinsteinMSD  # noqa: E402
+from . import io  # noqa: E402
+from . import ops  # noqa: E402
+from . import parallel  # noqa: E402
 
 __all__ = [
     "Universe",

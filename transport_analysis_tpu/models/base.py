@@ -106,6 +106,9 @@ class AnalysisBase:
         frames=None,
         verbose: Optional[bool] = None,
     ):
+        from ..utils.profiling import StageTimer
+
+        self.timing = StageTimer()
         self._setup_frames(
             self._trajectory, start=start, stop=stop, step=step, frames=frames
         )
@@ -115,15 +118,22 @@ class AnalysisBase:
         )
         if use_batch:
             self._validate_trajectory()
-            batch = self._trajectory.read_frames_batch(self.frames)
-            self.times = np.asarray(batch["times"], dtype=np.float64)
-            self._process_batch(batch)
+            with self.timing.stage("io"):
+                batch = self._trajectory.read_frames_batch(self.frames)
+                self.times = np.asarray(batch["times"], dtype=np.float64)
+                self._process_batch(batch)
         else:
-            for i, frame_index in enumerate(self.frames):
-                ts = self._trajectory[int(frame_index)]
-                self._frame_index = i
-                self._ts = ts
-                self.times[i] = ts.time
-                self._single_frame()
-        self._conclude()
+            with self.timing.stage("io"):
+                for i, frame_index in enumerate(self.frames):
+                    ts = self._trajectory[int(frame_index)]
+                    self._frame_index = i
+                    self._ts = ts
+                    self.times[i] = ts.time
+                    self._single_frame()
+        with self.timing.stage("compute"):
+            self._conclude()
+        self.timing.counters(
+            n_frames=self.n_frames,
+            n_particles=getattr(self, "n_particles", 0),
+        )
         return self

@@ -46,7 +46,7 @@ class VelocityAutocorr(AnalysisBase):
     """
 
     def __init__(self, atomgroup, dim_type: str = "xyz", fft: bool = True,
-                 **kwargs):
+                 atom_chunk=None, checkpoint=None, **kwargs):
         super().__init__(atomgroup.universe.trajectory, **kwargs)
         if isinstance(atomgroup, UpdatingAtomGroup):
             raise TypeError(
@@ -55,6 +55,8 @@ class VelocityAutocorr(AnalysisBase):
         self.dim_type = dim_type.lower()
         self._dim, self.dim_fac = parse_dim_type(self.dim_type)
         self.fft = fft
+        self.atom_chunk = atom_chunk
+        self.checkpoint = checkpoint
         self.atomgroup = atomgroup
         self.n_particles = len(atomgroup)
         self._run_called = False
@@ -92,12 +94,24 @@ class VelocityAutocorr(AnalysisBase):
         ]
 
     def _conclude(self):
-        vel = shard_frames_axis(self._velocities)
         kernel = ops.acf_fft if self.fft else ops.acf_windowed
-        # slice away any particle padding added for even sharding
-        by_particle = kernel(vel)[:, : self.n_particles]
-        self.results.vacf_by_particle = np.asarray(by_particle)
-        self.results.timeseries = np.asarray(by_particle.mean(axis=1))
+        if self.atom_chunk:
+            from ..parallel.streaming import chunked_per_particle
+
+            timeseries, by_particle = chunked_per_particle(
+                kernel,
+                np.asarray(self._velocities),
+                self.atom_chunk,
+                checkpoint=self.checkpoint,
+            )
+            self.results.vacf_by_particle = by_particle
+            self.results.timeseries = timeseries
+        else:
+            vel = shard_frames_axis(self._velocities)
+            # slice away any particle padding added for even sharding
+            by_particle = kernel(vel)[:, : self.n_particles]
+            self.results.vacf_by_particle = np.asarray(by_particle)
+            self.results.timeseries = np.asarray(by_particle.mean(axis=1))
         self._run_called = True
 
     # --- derived quantities ---------------------------------------------------
