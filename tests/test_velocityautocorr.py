@@ -276,3 +276,31 @@ class TestAllDims:
             / tdim_factor
         )
         assert_approx_equal(sd_actual, sd_expected, significant=6)
+
+
+class TestMaxLag:
+    def test_max_lag_fft(self, u_random):
+        full = VACF(u_random.atoms, fft=True).run()
+        capped = VACF(u_random.atoms, fft=True, max_lag=5).run()
+        assert capped.results.timeseries.shape == (5,)
+        assert_allclose(
+            capped.results.timeseries,
+            full.results.timeseries[:5],
+            rtol=1e-12,
+        )
+
+    def test_max_lag_windowed(self, u_random):
+        full = VACF(u_random.atoms, fft=False).run()
+        capped = VACF(u_random.atoms, fft=False, max_lag=7).run()
+        assert_allclose(
+            capped.results.timeseries,
+            full.results.timeseries[:7],
+            rtol=1e-12,
+        )
+
+    def test_max_lag_diffusivity_and_plot(self, u_random):
+        capped = VACF(u_random.atoms, max_lag=6).run()
+        d = capped.self_diffusivity_gk()
+        assert np.isfinite(d)
+        (line,) = capped.plot_vacf()
+        assert len(line.get_xydata()) == 6

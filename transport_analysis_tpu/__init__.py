@@ -38,7 +38,12 @@ import jax as _jax
 if not _os.environ.get("TRANSPORT_ANALYSIS_TPU_NO_X64"):
     _jax.config.update("jax_enable_x64", True)
 
-__version__ = "0.1.0"
+from ._version import get_versions as _get_versions  # noqa: E402
+
+_versions = _get_versions()
+__version__ = _versions["version"]
+__git_revision__ = _versions["full-revisionid"]
+del _versions
 
 from .utils.errors import NoDataError  # noqa: E402
 from .core.universe import Universe  # noqa: E402

@@ -21,6 +21,10 @@ def load_topology(path):
         from .pdb import parse_pdb_topology
 
         return parse_pdb_topology(path)
+    if ext == "psf":
+        from .psf import parse_psf_topology
+
+        return parse_psf_topology(path)
     raise ValueError(f"unsupported topology format: .{ext}")
 
 

@@ -39,7 +39,7 @@ class EinsteinMSD(AnalysisBase):
     """
 
     def __init__(self, u, select: str = "all", msd_type: str = "xyz",
-                 fft: bool = True, **kwargs):
+                 fft: bool = True, max_lag=None, **kwargs):
         if isinstance(u, AtomGroup):
             ag = u if select in ("all", None) else u.select_atoms(select)
         else:
@@ -50,6 +50,7 @@ class EinsteinMSD(AnalysisBase):
         self.msd_type = msd_type.lower()
         self._dim, self.dim_fac = parse_dim_type(self.msd_type)
         self.fft = fft
+        self.max_lag = max_lag
         self.n_particles = len(ag)
         self._run_called = False
 
@@ -79,12 +80,20 @@ class EinsteinMSD(AnalysisBase):
 
     def _conclude(self):
         pos = shard_frames_axis(self._positions)
-        kernel = (
-            ops.einstein_difference_fft
-            if self.fft
-            else ops.einstein_difference_windowed
+        self.n_lags = (
+            self.n_frames
+            if self.max_lag is None
+            else min(self.max_lag, self.n_frames)
         )
-        by_particle = kernel(pos, reduce_mode="sum")[:, : self.n_particles]
+        if self.fft:
+            by_particle = ops.einstein_difference_fft(
+                pos, reduce_mode="sum"
+            )[: self.n_lags]
+        else:
+            by_particle = ops.einstein_difference_windowed(
+                pos, reduce_mode="sum", max_lag=self.n_lags
+            )
+        by_particle = by_particle[:, : self.n_particles]
         self.results.msds_by_particle = np.asarray(by_particle)
         self.results.timeseries = np.asarray(by_particle.mean(axis=1))
         self._run_called = True

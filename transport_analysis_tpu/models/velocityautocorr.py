@@ -46,7 +46,7 @@ class VelocityAutocorr(AnalysisBase):
     """
 
     def __init__(self, atomgroup, dim_type: str = "xyz", fft: bool = True,
-                 atom_chunk=None, checkpoint=None, **kwargs):
+                 max_lag=None, atom_chunk=None, checkpoint=None, **kwargs):
         super().__init__(atomgroup.universe.trajectory, **kwargs)
         if isinstance(atomgroup, UpdatingAtomGroup):
             raise TypeError(
@@ -55,6 +55,7 @@ class VelocityAutocorr(AnalysisBase):
         self.dim_type = dim_type.lower()
         self._dim, self.dim_fac = parse_dim_type(self.dim_type)
         self.fft = fft
+        self.max_lag = max_lag
         self.atom_chunk = atom_chunk
         self.checkpoint = checkpoint
         self.atomgroup = atomgroup
@@ -94,7 +95,17 @@ class VelocityAutocorr(AnalysisBase):
         ]
 
     def _conclude(self):
-        kernel = ops.acf_fft if self.fft else ops.acf_windowed
+        self.n_lags = (
+            self.n_frames
+            if self.max_lag is None
+            else min(self.max_lag, self.n_frames)
+        )
+        if self.fft:
+            def kernel(v):
+                return ops.acf_fft(v)[: self.n_lags]
+        else:
+            def kernel(v):
+                return ops.acf_windowed(v, max_lag=self.n_lags)
         if self.atom_chunk:
             from ..parallel.streaming import chunked_per_particle
 
@@ -124,7 +135,7 @@ class VelocityAutocorr(AnalysisBase):
         """Green–Kubo self-diffusivity D = ∫C(t)dt / d via the trapezoid
         rule (reference velocityautocorr.py:287-322)."""
         self._require_run("computing self-diffusivity")
-        stop = self.n_frames if stop == 0 else stop
+        stop = self.n_lags if stop == 0 else stop
         return float(
             ops.trapezoid(
                 self.results.timeseries[start:stop:step],
@@ -138,7 +149,7 @@ class VelocityAutocorr(AnalysisBase):
         for an odd number of evenly spaced points (reference
         velocityautocorr.py:324-360)."""
         self._require_run("computing self-diffusivity")
-        stop = self.n_frames if stop == 0 else stop
+        stop = self.n_lags if stop == 0 else stop
         return float(
             ops.simpson(
                 self.results.timeseries[start:stop:step],
@@ -160,7 +171,7 @@ class VelocityAutocorr(AnalysisBase):
         import matplotlib.pyplot as plt
 
         self._require_run("plotting")
-        stop = self.n_frames if stop == 0 else stop
+        stop = self.n_lags if stop == 0 else stop
         fig, ax_vacf = plt.subplots()
         ax_vacf.set_xlabel(xlabel)
         ax_vacf.set_ylabel(ylabel)
@@ -183,7 +194,7 @@ class VelocityAutocorr(AnalysisBase):
         import matplotlib.pyplot as plt
 
         self._require_run("plotting")
-        stop = self.n_frames if stop == 0 else stop
+        stop = self.n_lags if stop == 0 else stop
         running_integral = (
             np.asarray(
                 ops.cumulative_trapezoid(

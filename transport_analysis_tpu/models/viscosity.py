@@ -55,6 +55,7 @@ class ViscosityHelfand(AnalysisBase):
         dim_type: str = "xyz",
         linear_fit_window=None,
         fft: bool = True,
+        max_lag=None,
         **kwargs,
     ):
         super().__init__(atomgroup.universe.trajectory, **kwargs)
@@ -67,6 +68,7 @@ class ViscosityHelfand(AnalysisBase):
         self.linear_fit_window = linear_fit_window
         self._dim, self.dim_fac = parse_dim_type(self.dim_type)
         self.fft = fft
+        self.max_lag = max_lag
         self.atomgroup = atomgroup
         self.n_particles = len(atomgroup)
 
@@ -135,14 +137,20 @@ class ViscosityHelfand(AnalysisBase):
         # Helfand accumulator A = m·v·x, shipped to device as one block
         accum = self._masses_rs * self._velocities * self._positions
         accum = shard_frames_axis(accum)
-        kernel = (
-            ops.einstein_difference_fft
-            if self.fft
-            else ops.einstein_difference_windowed
+        self.n_lags = (
+            self.n_frames
+            if self.max_lag is None
+            else min(self.max_lag, self.n_frames)
         )
-        by_particle = kernel(accum, reduce_mode="mean")[
-            :, : self.n_particles
-        ]
+        if self.fft:
+            by_particle = ops.einstein_difference_fft(
+                accum, reduce_mode="mean"
+            )[: self.n_lags]
+        else:
+            by_particle = ops.einstein_difference_windowed(
+                accum, reduce_mode="mean", max_lag=self.n_lags
+            )
+        by_particle = by_particle[:, : self.n_particles]
         denom = 2.0 * self.boltzmann * self._vol_avg * self.temp_avg
         by_particle = np.asarray(by_particle) / denom
         self.results.visc_by_particle = by_particle

@@ -26,6 +26,8 @@ with float64 pre/post arithmetic; the windowed path runs in genuine
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -91,8 +93,8 @@ def acf_fft(x) -> jax.Array:
     return raw / norm
 
 
-@jax.jit
-def _acf_windowed_impl(x: jax.Array) -> jax.Array:
+@partial(jax.jit, static_argnames=("n_lags",))
+def _acf_windowed_impl(x: jax.Array, n_lags: int) -> jax.Array:
     N, P, _ = x.shape
     frame_idx = jnp.arange(N)
 
@@ -103,19 +105,24 @@ def _acf_windowed_impl(x: jax.Array) -> jax.Array:
         s = jnp.sum(jnp.where(mask, prod, 0), axis=0)
         return out.at[lag].set(s / (N - lag))
 
-    return jax.lax.fori_loop(0, N, body, jnp.zeros((N, P), x.dtype))
+    return jax.lax.fori_loop(
+        0, n_lags, body, jnp.zeros((n_lags, P), x.dtype)
+    )
 
 
-def acf_windowed(x) -> jax.Array:
-    """Exact per-lag windowed autocorrelation, (N, P, d) → (N, P).
+def acf_windowed(x, max_lag=None) -> jax.Array:
+    """Exact per-lag windowed autocorrelation, (N, P, d) → (n_lags, P).
 
     Same summation order as the reference's simple algorithm
-    (velocityautocorr.py:223-235); O(N²·P·d) but fully on-device.
+    (velocityautocorr.py:223-235); O(N·L·P·d) for ``max_lag`` = L lags
+    (all N by default), fully on-device.
     """
     x = jnp.asarray(x)
     if x.ndim == 2:
         x = x[:, :, None]
-    return _acf_windowed_impl(x)
+    n = x.shape[0]
+    n_lags = n if max_lag is None else min(int(max_lag), n)
+    return _acf_windowed_impl(x, n_lags)
 
 
 def acf_fft_numpy(x: np.ndarray) -> np.ndarray:

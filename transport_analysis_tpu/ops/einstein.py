@@ -35,8 +35,10 @@ import jax.numpy as jnp
 from .acf import raw_autocorr
 
 
-@partial(jax.jit, static_argnames=("reduce_mode",))
-def _einstein_windowed_impl(a: jax.Array, reduce_mode: str) -> jax.Array:
+@partial(jax.jit, static_argnames=("reduce_mode", "n_lags"))
+def _einstein_windowed_impl(
+    a: jax.Array, reduce_mode: str, n_lags: int
+) -> jax.Array:
     N, P, d = a.shape
     frame_idx = jnp.arange(N)
     denom_d = d if reduce_mode == "mean" else 1
@@ -50,11 +52,16 @@ def _einstein_windowed_impl(a: jax.Array, reduce_mode: str) -> jax.Array:
         return out.at[lag].set(s / (N - lag))
 
     # lag 0 row stays 0 (reference viscosity.py:207 starts lags at 1)
-    return jax.lax.fori_loop(1, N, body, jnp.zeros((N, P), a.dtype))
+    return jax.lax.fori_loop(
+        1, n_lags, body, jnp.zeros((n_lags, P), a.dtype)
+    )
 
 
-def einstein_difference_windowed(a, reduce_mode: str = "mean") -> jax.Array:
-    """Exact windowed mean-squared lag difference, (N, P, d) → (N, P).
+def einstein_difference_windowed(
+    a, reduce_mode: str = "mean", max_lag=None
+) -> jax.Array:
+    """Exact windowed mean-squared lag difference,
+    (N, P, d) → (n_lags, P).
 
     ``reduce_mode='mean'`` averages over components (Helfand,
     viscosity.py:222); ``'sum'`` sums them (MSD convention).
@@ -62,7 +69,9 @@ def einstein_difference_windowed(a, reduce_mode: str = "mean") -> jax.Array:
     a = jnp.asarray(a)
     if a.ndim == 2:
         a = a[:, :, None]
-    return _einstein_windowed_impl(a, reduce_mode)
+    n = a.shape[0]
+    n_lags = n if max_lag is None else min(int(max_lag), n)
+    return _einstein_windowed_impl(a, reduce_mode, n_lags)
 
 
 @partial(jax.jit, static_argnames=("reduce_mode",))
