@@ -35,6 +35,10 @@ def open_trajectory(path, n_atoms=None):
         from .trr import TRRReader
 
         return TRRReader(path)
+    if ext == "xtc":
+        from .xtc import XTCReader
+
+        return XTCReader(path)
     if ext == "dcd":
         from .dcd import DCDReader
 

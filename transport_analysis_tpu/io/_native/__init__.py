@@ -19,10 +19,70 @@ import numpy as np
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "trr_decode.cpp")
 _SO = os.path.join(_HERE, "libtrrdecode.so")
+_XTC_SRC = os.path.join(_HERE, "xtc_codec.cpp")
+_XTC_SO = os.path.join(_HERE, "libxtccodec.so")
 
 _lock = threading.Lock()
 _lib = None
 _lib_failed = False
+_xtc_lib = None
+_xtc_failed = False
+
+
+def _compile(src: str, so: str) -> bool:
+    """(Re)build a shared object from src with g++ if stale."""
+    if os.path.exists(so) and (
+        os.path.getmtime(so) >= os.path.getmtime(src)
+    ):
+        return True
+    subprocess.run(
+        ["g++", "-O3", "-shared", "-fPIC", "-o", so, src, "-lpthread"],
+        check=True,
+        capture_output=True,
+    )
+    return True
+
+
+def load_xtc_codec():
+    """ctypes handle to the XTC bitstream codec, or None."""
+    global _xtc_lib, _xtc_failed
+    if _xtc_lib is not None or _xtc_failed:
+        return _xtc_lib
+    with _lock:
+        if _xtc_lib is not None or _xtc_failed:
+            return _xtc_lib
+        if os.environ.get("TRANSPORT_ANALYSIS_TPU_NO_NATIVE"):
+            _xtc_failed = True
+            return None
+        try:
+            _compile(_XTC_SRC, _XTC_SO)
+            lib = ctypes.CDLL(_XTC_SO)
+            lib.xtc_decode.restype = ctypes.c_int
+            lib.xtc_decode.argtypes = [
+                ctypes.c_int64,                       # natoms
+                ctypes.c_float,                       # precision
+                np.ctypeslib.ndpointer(np.int32),     # minint
+                np.ctypeslib.ndpointer(np.int32),     # maxint
+                ctypes.c_int32,                       # smallidx
+                ctypes.c_char_p,                      # data
+                ctypes.c_int64,                       # len
+                np.ctypeslib.ndpointer(np.float32),   # out
+            ]
+            lib.xtc_encode.restype = ctypes.c_int64
+            lib.xtc_encode.argtypes = [
+                np.ctypeslib.ndpointer(np.float32),   # coords
+                ctypes.c_int64,                       # natoms
+                ctypes.c_float,                       # precision
+                np.ctypeslib.ndpointer(np.int32),     # minint out
+                np.ctypeslib.ndpointer(np.int32),     # maxint out
+                np.ctypeslib.ndpointer(np.int32),     # smallidx out
+                np.ctypeslib.ndpointer(np.uint8),     # out
+                ctypes.c_int64,                       # cap
+            ]
+            _xtc_lib = lib
+        except Exception:
+            _xtc_failed = True
+    return _xtc_lib
 
 
 def _load_library():
@@ -36,17 +96,7 @@ def _load_library():
             _lib_failed = True
             return None
         try:
-            if not os.path.exists(_SO) or (
-                os.path.getmtime(_SO) < os.path.getmtime(_SRC)
-            ):
-                subprocess.run(
-                    [
-                        "g++", "-O3", "-shared", "-fPIC",
-                        "-o", _SO, _SRC, "-lpthread",
-                    ],
-                    check=True,
-                    capture_output=True,
-                )
+            _compile(_SRC, _SO)
             lib = ctypes.CDLL(_SO)
             lib.trr_decode_batch.restype = ctypes.c_int
             lib.trr_decode_batch.argtypes = [

@@ -123,6 +123,9 @@ class AnalysisBase:
                 self.times = np.asarray(batch["times"], dtype=np.float64)
                 self._process_batch(batch)
         else:
+            show_progress = (
+                verbose if verbose is not None else self._verbose
+            )
             with self.timing.stage("io"):
                 for i, frame_index in enumerate(self.frames):
                     ts = self._trajectory[int(frame_index)]
@@ -130,6 +133,16 @@ class AnalysisBase:
                     self._ts = ts
                     self.times[i] = ts.time
                     self._single_frame()
+                    if show_progress and (
+                        i % max(1, self.n_frames // 20) == 0
+                        or i == self.n_frames - 1
+                    ):
+                        print(
+                            f"\r{type(self).__name__}: frame "
+                            f"{i + 1}/{self.n_frames}",
+                            end="" if i < self.n_frames - 1 else "\n",
+                            flush=True,
+                        )
         with self.timing.stage("compute"):
             self._conclude()
         self.timing.counters(
