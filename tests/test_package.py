@@ -46,3 +46,14 @@ def test_due_shim():
         return 1
 
     assert fn() == 1
+
+
+def test_reference_import_paths():
+    """Reference-layout imports keep working for migrating users."""
+    from transport_analysis_tpu.velocityautocorr import VelocityAutocorr
+    from transport_analysis_tpu.viscosity import ViscosityHelfand
+    from transport_analysis_tpu.due import due, Doi  # noqa: F401
+    import transport_analysis_tpu as ta
+
+    assert VelocityAutocorr is ta.VelocityAutocorr
+    assert ViscosityHelfand is ta.ViscosityHelfand

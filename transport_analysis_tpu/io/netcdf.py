@@ -158,8 +158,12 @@ class NCDFWriter:
             self._vels[i] = (
                 np.asarray(velocities, np.float64) / AMBER_VEL_SCALE
             ).astype(np.float32)
-        if self._cl is not None and dimensions is not None:
-            dims = np.asarray(dimensions, np.float64)
+        if self._cl is not None:
+            # record variables must stay in sync across records
+            if dimensions is not None:
+                dims = np.asarray(dimensions, np.float64)
+            else:
+                dims = np.zeros(6)
             self._cl[i] = dims[:3]
             self._ca[i] = dims[3:]
         self._i += 1

@@ -100,8 +100,9 @@ def _fft_recursive(re, im, sign: float):
     im5 = jnp.moveaxis(im4, 1, 0).reshape(n2, n1 * b)
     re6, im6 = _fft_recursive(re5, im5, sign)  # k2 on axis 0
 
-    # output index k = k2·n1 + k1: (n2, n1, b) → reshape merges correctly
-    return re6.reshape(n * b)[: n * b].reshape(n, b), im6.reshape(n, b)
+    # output index k = k2·n1 + k1: (n2, n1·b) flattens to exactly that
+    # ordering, so a plain reshape merges the axes correctly
+    return re6.reshape(n, b), im6.reshape(n, b)
 
 
 def matmul_fft(re, im, inverse: bool = False):
@@ -123,26 +124,13 @@ def _reverse_index(z):
     return jnp.roll(jnp.flip(z, axis=0), 1, axis=0)
 
 
-@partial(jax.jit, static_argnames=("n_out",))
-def raw_autocorr_matmul(x, n_out: int):
-    """Raw (unnormalized) linear autocorrelation per column.
+# max complex columns processed per sequential block: bounds live FFT
+# intermediates to ~B·M·dtype·(a few buffers) regardless of batch width
+_SERIES_BLOCK = 256
 
-    ``x``: (M, S) real, already zero-padded to M ≥ 2·series_length with
-    M a power of two. Returns (n_out, S) with
-    out[lag, s] = Σ_i x[i, s]·x[i+lag, s].
 
-    Packs column pairs into complex FFTs (two real series per
-    transform, recovered via Hermitian symmetry), so the FFT count is
-    the same as a native rfft implementation.
-    """
-    m, s = x.shape
-    s_pad = s + (s % 2)
-    if s_pad != s:
-        x = jnp.pad(x, ((0, 0), (0, 1)))
-    half = s_pad // 2
-    re = x[:, :half]
-    im = x[:, half:]
-
+def _autocorr_packed(re, im, n_out: int):
+    """Autocorrelation of 2·B real series packed as B complex columns."""
     zr, zi = matmul_fft(re, im, inverse=False)
     zr_rev = _reverse_index(zr)
     zi_rev = _reverse_index(zi)
@@ -158,5 +146,47 @@ def raw_autocorr_matmul(x, n_out: int):
 
     # inverse transform of (s1 + i·s2): real part → acf1, imag → acf2
     gr, gi = matmul_fft(s1, s2, inverse=True)
-    out = jnp.concatenate([gr[:n_out], gi[:n_out]], axis=1)
+    return gr[:n_out], gi[:n_out]
+
+
+@partial(jax.jit, static_argnames=("n_out",))
+def raw_autocorr_matmul(x, n_out: int):
+    """Raw (unnormalized) linear autocorrelation per column.
+
+    ``x``: (M, S) real, already zero-padded to M ≥ 2·series_length with
+    M a power of two. Returns (n_out, S) with
+    out[lag, s] = Σ_i x[i, s]·x[i+lag, s].
+
+    Packs column pairs into complex FFTs (two real series per
+    transform, recovered via Hermitian symmetry), so the FFT count is
+    the same as a native rfft implementation. Wide batches run as
+    sequential column blocks (lax.map) to bound HBM-resident
+    intermediates — the whole-array transform OOMs a 16 GB chip around
+    (M=32768, S≈5000) in float64 otherwise.
+    """
+    m, s = x.shape
+    half = (s + 1) // 2
+    n_blocks = -(-half // _SERIES_BLOCK)
+    half_padded = n_blocks * _SERIES_BLOCK
+    # pad so re/im halves split evenly into blocks
+    x = jnp.pad(x, ((0, 0), (0, 2 * half_padded - s)))
+    re = x[:, :half_padded]
+    im = x[:, half_padded:]
+
+    if n_blocks == 1:
+        gr, gi = _autocorr_packed(re, im, n_out)
+    else:
+        re_blocks = jnp.moveaxis(
+            re.reshape(m, n_blocks, _SERIES_BLOCK), 1, 0
+        )
+        im_blocks = jnp.moveaxis(
+            im.reshape(m, n_blocks, _SERIES_BLOCK), 1, 0
+        )
+        gr, gi = jax.lax.map(
+            lambda ab: _autocorr_packed(ab[0], ab[1], n_out),
+            (re_blocks, im_blocks),
+        )
+        gr = jnp.moveaxis(gr, 0, 1).reshape(n_out, half_padded)
+        gi = jnp.moveaxis(gi, 0, 1).reshape(n_out, half_padded)
+    out = jnp.concatenate([gr, gi], axis=1)
     return out[:, :s]

@@ -137,7 +137,6 @@ def windowed_correlation_ring(
             f"n_frames={N} must be divisible by mesh axis {axis_name}={B}"
         )
 
-    other_axes = [a for a in mesh.axis_names if a != axis_name]
     pspec_in = P(axis_name, *([None] * (x.ndim - 1)))
     pspec_out = P(*([None] * 2))
 
