@@ -81,3 +81,32 @@ def test_windowed_sharded_matches(u_random, mesh):
     assert_allclose(
         sharded.results.timeseries, base.results.timeseries, rtol=1e-12
     )
+
+
+def test_multihost_feed_single_process(mesh):
+    """distribute_atom_block on a single-process mesh reproduces
+    device_put + sharding (the multi-host API degenerates cleanly)."""
+    from transport_analysis_tpu.parallel.multihost import (
+        atom_shard_for_process,
+        distribute_atom_block,
+    )
+    from transport_analysis_tpu import ops
+
+    rng = np.random.RandomState(2)
+    block = rng.normal(size=(16, 16, 3))
+    sl = atom_shard_for_process(16, mesh)
+    assert (sl.start, sl.stop) == (0, 16)
+    garr = distribute_atom_block(block[:, sl], 16, mesh)
+    assert garr.shape == (16, 16, 3)
+    got = np.asarray(ops.acf_fft(garr))
+    want = np.asarray(ops.acf_fft(block))
+    assert_allclose(got, want, rtol=1e-12)
+
+
+def test_multihost_feed_uneven_rejected(mesh):
+    from transport_analysis_tpu.parallel.multihost import (
+        atom_shard_for_process,
+    )
+
+    with pytest.raises(ValueError, match="divide evenly"):
+        atom_shard_for_process(10, mesh)
