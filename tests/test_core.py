@@ -185,3 +185,38 @@ class TestAtomGroupAndSelection:
         assert_allclose(ag.velocities, vel)
         # write-through persists in the backing store
         assert_allclose(u.trajectory[0].velocities[[0, 2]], vel)
+
+
+class TestPropSelection:
+    @pytest.fixture()
+    def u(self):
+        u = ta.Universe.empty(4, n_frames=1)
+        u.add_TopologyAttr("masses", [1.0, 12.0, 16.0, 32.0])
+        u.atoms.positions = np.array(
+            [[0, 0, -5], [1, 0, 2], [2, 0, 7], [3, 0, -1]], np.float32
+        )
+        return u
+
+    def test_prop_mass(self, u):
+        assert_array_equal(u.select_atoms("prop mass > 12").indices, [2, 3])
+        assert_array_equal(
+            u.select_atoms("prop mass <= 12").indices, [0, 1]
+        )
+
+    def test_prop_position(self, u):
+        assert_array_equal(u.select_atoms("prop z > 0").indices, [1, 2])
+        assert_array_equal(
+            u.select_atoms("prop abs z < 3").indices, [1, 3]
+        )
+
+    def test_prop_combined(self, u):
+        ag = u.select_atoms("prop mass > 10 and prop z < 0")
+        assert_array_equal(ag.indices, [3])
+
+    def test_prop_errors(self, u):
+        from transport_analysis_tpu.utils.errors import SelectionError
+
+        with pytest.raises(SelectionError, match="unknown property"):
+            u.select_atoms("prop bogus > 1")
+        with pytest.raises(SelectionError, match="unknown operator"):
+            u.select_atoms("prop mass ~ 1")

@@ -32,7 +32,16 @@ _BACKBONE_NAMES = {"N", "CA", "C", "O"}
 _KEYWORDS = {
     "and", "or", "not", "all", "none", "name", "resname", "resid", "resnum",
     "type", "segid", "element", "index", "bynum", "id", "mass", "charge",
-    "around", "protein", "backbone", "(", ")", "to",
+    "around", "protein", "backbone", "prop", "(", ")", "to",
+}
+
+_PROP_OPS = {
+    "<": np.less,
+    "<=": np.less_equal,
+    ">": np.greater,
+    ">=": np.greater_equal,
+    "==": np.equal,
+    "!=": np.not_equal,
 }
 
 
@@ -129,6 +138,8 @@ class _Parser:
             radius = float(self.next())
             inner = self.parse_not()
             return self._around(radius, inner)
+        if tok == "prop":
+            return self._prop()
         raise SelectionError(f"unknown selection keyword {tok!r}")
 
     # --- helpers -----------------------------------------------------------
@@ -195,6 +206,32 @@ class _Parser:
         if not got:
             raise SelectionError("numeric keyword expects values")
         return mask
+
+    def _prop(self) -> np.ndarray:
+        """``prop [abs] <x|y|z|mass|charge> <op> <value>`` comparisons
+        on per-atom properties (MDAnalysis 'prop' keyword subset)."""
+        tok = self.next()
+        use_abs = tok == "abs"
+        if use_abs:
+            tok = self.next()
+        if tok in ("x", "y", "z"):
+            axis = {"x": 0, "y": 1, "z": 2}[tok]
+            values = self.u.trajectory.ts.positions[:, axis].astype(
+                np.float64
+            )
+        elif tok in ("mass", "charge"):
+            values = self.u._topology.get_atom_values(
+                "masses" if tok == "mass" else "charges"
+            ).astype(np.float64)
+        else:
+            raise SelectionError(f"prop: unknown property {tok!r}")
+        op_tok = self.next()
+        if op_tok not in _PROP_OPS:
+            raise SelectionError(f"prop: unknown operator {op_tok!r}")
+        rhs = float(self.next())
+        if use_abs:
+            values = np.abs(values)
+        return _PROP_OPS[op_tok](values, rhs)
 
     def _around(self, radius: float, inner: np.ndarray) -> np.ndarray:
         """Atoms strictly within ``radius`` of any atom in ``inner``,
