@@ -1,0 +1,159 @@
+"""Out-of-core correlation for trajectories larger than host RAM.
+
+The dense (frames, atoms, 3) float64 block the reference materializes
+(SURVEY.md §5) is impossible at 100k atoms × 1M frames (~2.4 TB). This
+pipeline makes it a two-pass streaming problem:
+
+pass 1 — decode: frame blocks stream through the prefetch pipeline
+  (background-thread C++ decode) and are scattered into per-atom-chunk
+  *spool* files on disk, each shaped (n_frames, chunk, d) float32 —
+  i.e. a blocked on-disk transpose from frame-major to chunk-major.
+
+pass 2 — correlate: each spool memmaps in, ships to the device, runs
+  the batched correlation kernel, and accumulates into the particle
+  mean. Device and host memory stay bounded by the chunk size.
+
+Every chunk completion is checkpointable (parallel/streaming.py), so a
+multi-hour run resumes mid-stream.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+from ..io.prefetch import prefetch_batches
+
+
+def build_spools(
+    reader,
+    frames: Sequence[int],
+    atom_indices: np.ndarray,
+    dim: Sequence[int],
+    spool_dir: str,
+    atom_chunk: int,
+    field: str = "velocities",
+    frame_block: int = 1024,
+) -> list[str]:
+    """Pass 1: stream-decode ``frames`` and scatter into spool files.
+
+    Returns the spool paths (one per atom chunk). Existing complete
+    spools are reused (resume support).
+    """
+    os.makedirs(spool_dir, exist_ok=True)
+    n_frames = len(frames)
+    atom_indices = np.asarray(atom_indices)
+    n_atoms = len(atom_indices)
+    d = len(dim)
+    n_chunks = -(-n_atoms // atom_chunk)
+
+    paths = [
+        os.path.join(spool_dir, f"{field}_chunk{c:05d}.f32")
+        for c in range(n_chunks)
+    ]
+    marker = os.path.join(spool_dir, f"{field}.complete")
+    if os.path.exists(marker):
+        return paths
+
+    mmaps = []
+    for c, path in enumerate(paths):
+        width = min(atom_chunk, n_atoms - c * atom_chunk)
+        mmaps.append(
+            np.lib.format.open_memmap(
+                path,
+                mode="w+",
+                dtype=np.float32,
+                shape=(n_frames, width, d),
+            )
+        )
+
+    row = 0
+    for batch in prefetch_batches(reader, frames,
+                                  block_size=frame_block):
+        data = batch[field][:, atom_indices][:, :, dim]
+        nb = data.shape[0]
+        for c, mm in enumerate(mmaps):
+            lo = c * atom_chunk
+            hi = min(lo + atom_chunk, n_atoms)
+            mm[row:row + nb] = data[:, lo:hi]
+        row += nb
+    for mm in mmaps:
+        mm.flush()
+    del mmaps
+    with open(marker, "w") as fh:
+        fh.write("ok\n")
+    return paths
+
+
+def correlate_spools(
+    kernel,
+    paths: Sequence[str],
+    n_particles: int,
+    checkpoint: Optional[str] = None,
+) -> np.ndarray:
+    """Pass 2: run ``kernel((N, chunk, d)) → (L, chunk)`` over each
+    spool and return the particle-mean timeseries (L,)."""
+    acc = None
+    start = 0
+    if checkpoint and os.path.exists(checkpoint):
+        state = np.load(checkpoint)
+        if int(state["n_particles"]) == n_particles:
+            acc = state["acc"]
+            start = int(state["next_spool"])
+
+    for c in range(start, len(paths)):
+        block = np.load(paths[c], mmap_mode="r")
+        result = np.asarray(kernel(np.asarray(block)))
+        if acc is None:
+            acc = np.zeros(result.shape[0], np.float64)
+        acc += result.sum(axis=1)
+        if checkpoint:
+            tmp = checkpoint + ".tmp"
+            with open(tmp, "wb") as fh:
+                np.savez(fh, acc=acc, next_spool=c + 1,
+                         n_particles=n_particles)
+            os.replace(tmp, checkpoint)
+    return acc / max(n_particles, 1)
+
+
+def vacf_out_of_core(
+    universe_or_ag,
+    spool_dir: str,
+    atom_chunk: int = 4096,
+    dim: Sequence[int] = (0, 1, 2),
+    start=None,
+    stop=None,
+    step=None,
+    max_lag: Optional[int] = None,
+    checkpoint: Optional[str] = None,
+) -> np.ndarray:
+    """End-to-end out-of-core VACF: file → spools → device → timeseries.
+
+    Returns the particle-averaged VACF (max_lag or n_frames long).
+    """
+    from .. import ops
+    from ..core.groups import AtomGroup
+
+    ag = (
+        universe_or_ag
+        if isinstance(universe_or_ag, AtomGroup)
+        else universe_or_ag.atoms
+    )
+    reader = ag.universe.trajectory
+    s, e, st = reader.check_slice_indices(start, stop, step)
+    frames = np.arange(s, e, st)
+
+    paths = build_spools(
+        reader, frames, ag.indices, list(dim), spool_dir, atom_chunk,
+        field="velocities",
+    )
+
+    def kernel(block):
+        out = ops.acf_fft(np.asarray(block, dtype=np.float64))
+        return out[:max_lag] if max_lag else out
+
+    return correlate_spools(
+        kernel, paths, len(ag), checkpoint=checkpoint
+    )
