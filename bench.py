@@ -84,13 +84,35 @@ def tpu_pipeline(vel, pos, masses, times):
         return vacf_ts, diffusivity, visc_ts, slope
 
     fn = jax.jit(step)
-    args = tuple(jax.device_put(a) for a in (vel, pos, masses, times))
-    out = jax.block_until_ready(fn(*args))  # compile + warm
-    reps = 3
+    # pre-stage DISTINCT inputs per repetition: the tunneled runtime
+    # can short-circuit executions re-issued on identical buffers,
+    # which would fake the timing
+    reps = 8
+    staged = []
+    for r in range(reps + 1):
+        scale = 1.0 + 1e-9 * r
+        staged.append(
+            tuple(
+                jax.device_put(a)
+                for a in (vel * scale, pos, masses, times)
+            )
+        )
+    out = fn(*staged[0])  # compile + warm
+    np.asarray(out[0])
+    jax.block_until_ready([s[0] for s in staged])
+    # Timing notes for this tunneled runtime: identical re-issued
+    # executions can be memoized (hence distinct staged inputs), and
+    # block_until_ready does not guarantee execution completion (hence
+    # a host readback). The device runs the queue in order, so one
+    # readback of the last rep's output fences all of them; its RTT is
+    # amortized over the reps.
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = jax.block_until_ready(fn(*args))
+    outs = [fn(*staged[r]) for r in range(1, reps + 1)]
+    float(outs[-1][1])
     wall = (time.perf_counter() - t0) / reps
+    # report results computed from the unscaled inputs
+    out = fn(*staged[0])
+    np.asarray(out[0])
     return wall, out
 
 

@@ -31,27 +31,35 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# largest DFT applied as a single dense matmul; 256 keeps the DFT matrix
-# MXU-tile aligned (2×128) and the recursion shallow
-_BASE = 256
+# largest DFT applied as a single dense matmul. 128 matches the MXU
+# contraction tile exactly and minimizes total matmul flops
+# (cost ∝ BASE·ceil(log_BASE(M)); 128 beats 256 for every M ≥ 2^14)
+_BASE = 128
 
 
-def _dft_matrices(n: int, sign: float, dtype) -> tuple[np.ndarray, np.ndarray]:
-    """(cos, sin) parts of the n-point DFT matrix W[k, j] = e^{sign·2πi·kj/n},
-    built on host in float64 and cast once."""
-    k = np.arange(n)
-    theta = (2.0 * np.pi / n) * np.outer(k, k)
-    c = np.cos(theta).astype(dtype)
-    s = (np.sign(sign) * np.sin(theta)).astype(dtype)
-    return c, s
+def _phase_tables(n_rows: int, n_cols: int, period: int, sign: float,
+                  dtype):
+    """(cos, sin) of e^{sign·2πi·(r·c mod period)/period}, computed on
+    device at trace time.
+
+    Embedding these as HLO literals makes programs multi-MB and
+    compile-bound; generating them from iotas keeps the HLO tiny. The
+    integer ``mod period`` reduction keeps every phase in [0, 2π), so
+    the trig arguments carry no large-angle rounding — *better* than
+    materializing θ = 2π·r·c/period directly.
+    """
+    r = jnp.arange(n_rows, dtype=jnp.int64)[:, None]
+    c = jnp.arange(n_cols, dtype=jnp.int64)[None, :]
+    m = (r * c) % period
+    theta = (2.0 * np.pi / period) * m.astype(dtype)
+    sin_sign = jnp.asarray(np.sign(sign), dtype=dtype)
+    return jnp.cos(theta), sin_sign * jnp.sin(theta)
 
 
 def _apply_dft(re, im, sign: float):
     """Dense DFT along axis 0 (length ≤ _BASE) via four real matmuls."""
     n = re.shape[0]
-    c, s = _dft_matrices(n, sign, re.dtype)
-    c = jnp.asarray(c)
-    s = jnp.asarray(s)
+    c, s = _phase_tables(n, n, n, sign, re.dtype)
     # (c + i·s) @ (re + i·im)
     out_re = c @ re - s @ im
     out_im = c @ im + s @ re
@@ -60,12 +68,7 @@ def _apply_dft(re, im, sign: float):
 
 def _twiddles(n1: int, n2: int, sign: float, dtype):
     """Twiddle factors W_{n1·n2}^{k1·j2} with shape (n1, n2)."""
-    k1 = np.arange(n1)
-    j2 = np.arange(n2)
-    theta = (2.0 * np.pi / (n1 * n2)) * np.outer(k1, j2)
-    c = np.cos(theta).astype(dtype)
-    s = (np.sign(sign) * np.sin(theta)).astype(dtype)
-    return jnp.asarray(c), jnp.asarray(s)
+    return _phase_tables(n1, n2, n1 * n2, sign, dtype)
 
 
 def _fft_recursive(re, im, sign: float):
@@ -166,8 +169,12 @@ def raw_autocorr_matmul(x, n_out: int):
     """
     m, s = x.shape
     half = (s + 1) // 2
-    n_blocks = -(-half // _SERIES_BLOCK)
-    half_padded = n_blocks * _SERIES_BLOCK
+    if half <= _SERIES_BLOCK:
+        n_blocks = 1
+        half_padded = half
+    else:
+        n_blocks = -(-half // _SERIES_BLOCK)
+        half_padded = n_blocks * _SERIES_BLOCK
     # pad so re/im halves split evenly into blocks
     x = jnp.pad(x, ((0, 0), (0, 2 * half_padded - s)))
     re = x[:, :half_padded]
