@@ -67,51 +67,58 @@ def make_data(n_frames, n_atoms, dtype):
     return vel, pos, masses, times
 
 
+def _analysis_step(vel, pos, masses, times):
+    vacf_bp = ops.acf_fft(vel)
+    vacf_ts = vacf_bp.mean(axis=1)
+    diffusivity = ops.trapezoid(vacf_ts, times) / 3.0
+    accum = masses[None, :, None] * vel * pos
+    visc_bp = ops.einstein_difference_fft(accum, "mean")
+    visc_ts = visc_bp.mean(axis=1) / (2.0 * KB * VOL * TEMP)
+    n = vel.shape[0]
+    lags = jnp.arange(1, n, dtype=visc_ts.dtype)
+    w = slice(n // 8, n // 2)
+    slope, _ = ops.polyfit_linear(lags[w], visc_ts[w])
+    return vacf_ts, diffusivity, visc_ts, slope
+
+
 def tpu_pipeline(vel, pos, masses, times):
-    """Fused device pipeline: VACF + GK-D + Helfand function + slope."""
+    """Fused device pipeline: VACF + GK-D + Helfand function + slope.
 
-    def step(vel, pos, masses, times):
-        vacf_bp = ops.acf_fft(vel)
-        vacf_ts = vacf_bp.mean(axis=1)
-        diffusivity = ops.trapezoid(vacf_ts, times) / 3.0
-        accum = masses[None, :, None] * vel * pos
-        visc_bp = ops.einstein_difference_fft(accum, "mean")
-        visc_ts = visc_bp.mean(axis=1) / (2.0 * KB * VOL * TEMP)
-        n = vel.shape[0]
-        lags = jnp.arange(1, n, dtype=visc_ts.dtype)
-        w = slice(n // 8, n // 2)
-        slope, _ = ops.polyfit_linear(lags[w], visc_ts[w])
-        return vacf_ts, diffusivity, visc_ts, slope
-
-    fn = jax.jit(step)
-    # pre-stage DISTINCT inputs per repetition: the tunneled runtime
-    # can short-circuit executions re-issued on identical buffers,
-    # which would fake the timing
+    Timing methodology for this tunneled runtime (see BENCH_NOTES.md):
+    per-launch RPC overhead is ~0.4 s and identical re-issued
+    executions can be memoized, so the step runs ``reps`` times inside
+    ONE executable via lax.scan — every iteration perturbs the
+    velocities (on device) and every output feeds the returned scalar,
+    so no iteration can be elided — and a single host readback fences
+    the program. wall/reps is sustained on-device throughput, which is
+    what chunked pipelines achieve (they cross the host boundary once
+    per large chunk, not per step).
+    """
     reps = 8
-    staged = []
-    for r in range(reps + 1):
-        scale = 1.0 + 1e-9 * r
-        staged.append(
-            tuple(
-                jax.device_put(a)
-                for a in (vel * scale, pos, masses, times)
+
+    def loop(vel, pos, masses, times):
+        def body(carry, i):
+            scale = 1.0 + 1e-9 * i.astype(vel.dtype)
+            vacf_ts, d, visc_ts, slope = _analysis_step(
+                vel * scale, pos, masses, times
             )
+            digest = d + slope + vacf_ts[0] + visc_ts[-1]
+            return carry + digest, None
+
+        total, _ = jax.lax.scan(
+            body, jnp.zeros((), vel.dtype), jnp.arange(reps)
         )
-    out = fn(*staged[0])  # compile + warm
-    np.asarray(out[0])
-    jax.block_until_ready([s[0] for s in staged])
-    # Timing notes for this tunneled runtime: identical re-issued
-    # executions can be memoized (hence distinct staged inputs), and
-    # block_until_ready does not guarantee execution completion (hence
-    # a host readback). The device runs the queue in order, so one
-    # readback of the last rep's output fences all of them; its RTT is
-    # amortized over the reps.
+        return total
+
+    fn = jax.jit(loop)
+    single = jax.jit(_analysis_step)
+    args = tuple(jax.device_put(a) for a in (vel, pos, masses, times))
+    float(fn(*args))  # compile + warm
     t0 = time.perf_counter()
-    outs = [fn(*staged[r]) for r in range(1, reps + 1)]
-    float(outs[-1][1])
+    total = float(fn(*args))  # readback fences the whole scan
     wall = (time.perf_counter() - t0) / reps
-    # report results computed from the unscaled inputs
-    out = fn(*staged[0])
+    assert np.isfinite(total)
+    out = single(*args)
     np.asarray(out[0])
     return wall, out
 
