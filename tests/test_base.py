@@ -95,3 +95,32 @@ class TestAnalysisBaseSubclassing:
             axis=0,
         )
         assert_allclose(m.results.mean_velocity, direct, rtol=1e-6)
+
+
+class TestDtypeFastMode:
+    def test_f32_matches_f64_loosely(self, u_random):
+        a = VelocityAutocorr(u_random.atoms).run()
+        b = VelocityAutocorr(u_random.atoms, dtype=np.float32).run()
+        assert b._velocities.dtype == np.float32
+        assert_allclose(
+            b.results.timeseries, a.results.timeseries, rtol=1e-4
+        )
+
+    def test_f32_viscosity(self, u_random):
+        from transport_analysis_tpu import ViscosityHelfand
+
+        a = ViscosityHelfand(u_random.atoms).run()
+        b = ViscosityHelfand(u_random.atoms, dtype=np.float32).run()
+        assert_allclose(
+            b.results.timeseries, a.results.timeseries, rtol=1e-3
+        )
+
+    def test_f32_msd(self, u_random):
+        from transport_analysis_tpu import EinsteinMSD
+
+        a = EinsteinMSD(u_random.atoms).run()
+        b = EinsteinMSD(u_random.atoms, dtype=np.float32).run()
+        assert_allclose(
+            b.results.timeseries, a.results.timeseries, rtol=1e-3,
+            atol=1e-3,
+        )

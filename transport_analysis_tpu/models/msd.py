@@ -39,7 +39,8 @@ class EinsteinMSD(AnalysisBase):
     """
 
     def __init__(self, u, select: str = "all", msd_type: str = "xyz",
-                 fft: bool = True, max_lag=None, **kwargs):
+                 fft: bool = True, max_lag=None, dtype=np.float64,
+                 **kwargs):
         if isinstance(u, AtomGroup):
             ag = u if select in ("all", None) else u.select_atoms(select)
         else:
@@ -51,6 +52,7 @@ class EinsteinMSD(AnalysisBase):
         self._dim, self.dim_fac = parse_dim_type(self.msd_type)
         self.fft = fft
         self.max_lag = max_lag
+        self._work_dtype = np.dtype(dtype)
         self.n_particles = len(ag)
         self._run_called = False
 
@@ -59,7 +61,8 @@ class EinsteinMSD(AnalysisBase):
             (self.n_frames, self.n_particles)
         )
         self._positions = np.zeros(
-            (self.n_frames, self.n_particles, self.dim_fac)
+            (self.n_frames, self.n_particles, self.dim_fac),
+            dtype=self._work_dtype,
         )
 
     def _validate_trajectory(self):
@@ -70,7 +73,8 @@ class EinsteinMSD(AnalysisBase):
         if "positions" not in batch:
             raise NoDataError("MSD computation requires positions")
         self._positions = np.asarray(
-            batch["positions"][:, self.ag.indices], dtype=np.float64
+            batch["positions"][:, self.ag.indices],
+            dtype=self._work_dtype,
         )[:, :, self._dim]
 
     def _single_frame(self):

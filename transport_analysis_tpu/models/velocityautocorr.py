@@ -46,7 +46,8 @@ class VelocityAutocorr(AnalysisBase):
     """
 
     def __init__(self, atomgroup, dim_type: str = "xyz", fft: bool = True,
-                 max_lag=None, atom_chunk=None, checkpoint=None, **kwargs):
+                 max_lag=None, atom_chunk=None, checkpoint=None,
+                 dtype=np.float64, **kwargs):
         super().__init__(atomgroup.universe.trajectory, **kwargs)
         if isinstance(atomgroup, UpdatingAtomGroup):
             raise TypeError(
@@ -56,6 +57,9 @@ class VelocityAutocorr(AnalysisBase):
         self._dim, self.dim_fac = parse_dim_type(self.dim_type)
         self.fft = fft
         self.max_lag = max_lag
+        # float64 default (reference-grade numerics); float32 is the
+        # fast mode on TPU (~1e-6 relative accuracy)
+        self._work_dtype = np.dtype(dtype)
         self.atom_chunk = atom_chunk
         self.checkpoint = checkpoint
         self.atomgroup = atomgroup
@@ -68,7 +72,8 @@ class VelocityAutocorr(AnalysisBase):
             (self.n_frames, self.n_particles)
         )
         self._velocities = np.zeros(
-            (self.n_frames, self.n_particles, self.dim_fac)
+            (self.n_frames, self.n_particles, self.dim_fac),
+            dtype=self._work_dtype,
         )
 
     def _validate_trajectory(self):
@@ -83,7 +88,9 @@ class VelocityAutocorr(AnalysisBase):
                 "VACF computation requires velocities in the trajectory"
             )
         v = batch["velocities"][:, self.atomgroup.indices]
-        self._velocities = np.asarray(v, dtype=np.float64)[:, :, self._dim]
+        self._velocities = np.asarray(v, dtype=self._work_dtype)[
+            :, :, self._dim
+        ]
 
     def _single_frame(self):
         if not self._ts.has_velocities:

@@ -56,6 +56,7 @@ class ViscosityHelfand(AnalysisBase):
         linear_fit_window=None,
         fft: bool = True,
         max_lag=None,
+        dtype=np.float64,
         **kwargs,
     ):
         super().__init__(atomgroup.universe.trajectory, **kwargs)
@@ -69,6 +70,7 @@ class ViscosityHelfand(AnalysisBase):
         self._dim, self.dim_fac = parse_dim_type(self.dim_type)
         self.fft = fft
         self.max_lag = max_lag
+        self._work_dtype = np.dtype(dtype)
         self.atomgroup = atomgroup
         self.n_particles = len(atomgroup)
 
@@ -78,13 +80,17 @@ class ViscosityHelfand(AnalysisBase):
             (self.n_frames, self.n_particles)
         )
         self._volumes = np.zeros(self.n_frames)
-        self._masses = np.asarray(self.atomgroup.masses, dtype=np.float64)
+        self._masses = np.asarray(
+            self.atomgroup.masses, dtype=self._work_dtype
+        )
         self._masses_rs = self._masses.reshape(1, len(self._masses), 1)
         self._velocities = np.zeros(
-            (self.n_frames, self.n_particles, self.dim_fac)
+            (self.n_frames, self.n_particles, self.dim_fac),
+            dtype=self._work_dtype,
         )
         self._positions = np.zeros(
-            (self.n_frames, self.n_particles, self.dim_fac)
+            (self.n_frames, self.n_particles, self.dim_fac),
+            dtype=self._work_dtype,
         )
         # keep the historical-typo fallback contract (MDAnalysis #4213)
         try:
@@ -111,10 +117,10 @@ class ViscosityHelfand(AnalysisBase):
         self._volumes = volumes
         idx = self.atomgroup.indices
         self._velocities = np.asarray(
-            batch["velocities"][:, idx], dtype=np.float64
+            batch["velocities"][:, idx], dtype=self._work_dtype
         )[:, :, self._dim]
         self._positions = np.asarray(
-            batch["positions"][:, idx], dtype=np.float64
+            batch["positions"][:, idx], dtype=self._work_dtype
         )[:, :, self._dim]
 
     def _single_frame(self):
