@@ -180,3 +180,15 @@ class TestIntegrate:
         exp_slope, exp_intercept = np.polyfit(x, y, 1)
         assert_allclose(float(slope), exp_slope, rtol=1e-10)
         assert_allclose(float(intercept), exp_intercept, rtol=1e-10)
+
+
+class TestPrefixSumBlocked:
+    def test_matches_cumsum(self):
+        from transport_analysis_tpu.ops.einstein import _prefix_sum_blocked
+
+        rng = np.random.RandomState(0)
+        for n in (1, 7, 128, 129, 300, 1000):
+            x = rng.normal(size=(n, 5))
+            got = np.asarray(_prefix_sum_blocked(np.asarray(x)))
+            want = np.cumsum(x, axis=0)
+            assert_allclose(got, want, rtol=1e-12, atol=1e-12)

@@ -74,6 +74,33 @@ def einstein_difference_windowed(
     return _einstein_windowed_impl(a, reduce_mode, n_lags)
 
 
+_PREFIX_BLOCK = 128
+
+
+def _prefix_sum_blocked(x: jax.Array) -> jax.Array:
+    """Inclusive prefix sum along axis 0 of (N, P) via MXU matmuls.
+
+    float64 ``jnp.cumsum`` on TPU is emulated element-by-element and
+    dominates the Einstein kernel at large N; a lower-triangular
+    matmul per 128-row block + a 128×-smaller cumsum of block totals
+    does the same reduction on the MXU.
+    """
+    n, p = x.shape
+    b = _PREFIX_BLOCK
+    n_blocks = -(-n // b)
+    x_pad = jnp.pad(x, ((0, n_blocks * b - n), (0, 0)))
+    blocks = x_pad.reshape(n_blocks, b, p)
+    tri = jnp.tril(jnp.ones((b, b), x.dtype))
+    intra = jnp.einsum(
+        "lk,bkp->blp", tri, blocks,
+        preferred_element_type=x.dtype,
+    )
+    totals = intra[:, -1, :]  # (n_blocks, P)
+    offsets = jnp.cumsum(totals, axis=0) - totals  # exclusive
+    out = intra + offsets[:, None, :]
+    return out.reshape(n_blocks * b, p)[:n]
+
+
 @partial(jax.jit, static_argnames=("reduce_mode",))
 def _einstein_fft_impl(a: jax.Array, reduce_mode: str) -> jax.Array:
     N, P, d = a.shape
@@ -84,7 +111,7 @@ def _einstein_fft_impl(a: jax.Array, reduce_mode: str) -> jax.Array:
 
     # prefix sums of |a_i|² over components
     sq = jnp.sum(a * a, axis=-1)  # (N, P)
-    css = jnp.cumsum(sq, axis=0)  # css[k] = sum_{i<=k} sq[i]
+    css = _prefix_sum_blocked(sq)  # css[k] = sum_{i<=k} sq[i]
     total = css[-1]
 
     lags = jnp.arange(N)
