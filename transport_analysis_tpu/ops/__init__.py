@@ -6,6 +6,7 @@ from .integrate import (
     cumulative_trapezoid,
     polyfit_linear,
 )
+from .pallas_lag import windowed_lag_pallas
 
 __all__ = [
     "acf_fft",
@@ -17,4 +18,5 @@ __all__ = [
     "simpson",
     "cumulative_trapezoid",
     "polyfit_linear",
+    "windowed_lag_pallas",
 ]
