@@ -94,6 +94,7 @@ def _prefix_sum_blocked(x: jax.Array) -> jax.Array:
     intra = jnp.einsum(
         "lk,bkp->blp", tri, blocks,
         preferred_element_type=x.dtype,
+        precision=jax.lax.Precision.HIGHEST,
     )
     totals = intra[:, -1, :]  # (n_blocks, P)
     offsets = jnp.cumsum(totals, axis=0) - totals  # exclusive
