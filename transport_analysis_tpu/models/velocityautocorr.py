@@ -142,11 +142,11 @@ class VelocityAutocorr(AnalysisBase):
         """Green–Kubo self-diffusivity D = ∫C(t)dt / d via the trapezoid
         rule (reference velocityautocorr.py:287-322)."""
         self._require_run("computing self-diffusivity")
-        stop = self.n_lags if stop == 0 else stop
+        stop = self.n_lags if stop == 0 else min(stop, self.n_lags)
         return float(
             ops.trapezoid(
                 self.results.timeseries[start:stop:step],
-                self.times[start:stop:step],
+                self.times[: self.n_lags][start:stop:step],
             )
         ) / self.dim_fac
 
@@ -156,11 +156,11 @@ class VelocityAutocorr(AnalysisBase):
         for an odd number of evenly spaced points (reference
         velocityautocorr.py:324-360)."""
         self._require_run("computing self-diffusivity")
-        stop = self.n_lags if stop == 0 else stop
+        stop = self.n_lags if stop == 0 else min(stop, self.n_lags)
         return float(
             ops.simpson(
                 self.results.timeseries[start:stop:step],
-                self.times[start:stop:step],
+                self.times[: self.n_lags][start:stop:step],
             )
         ) / self.dim_fac
 
@@ -178,12 +178,12 @@ class VelocityAutocorr(AnalysisBase):
         import matplotlib.pyplot as plt
 
         self._require_run("plotting")
-        stop = self.n_lags if stop == 0 else stop
+        stop = self.n_lags if stop == 0 else min(stop, self.n_lags)
         fig, ax_vacf = plt.subplots()
         ax_vacf.set_xlabel(xlabel)
         ax_vacf.set_ylabel(ylabel)
         return ax_vacf.plot(
-            self.times[start:stop:step],
+            self.times[: self.n_lags][start:stop:step],
             self.results.timeseries[start:stop:step],
         )
 
@@ -201,12 +201,13 @@ class VelocityAutocorr(AnalysisBase):
         import matplotlib.pyplot as plt
 
         self._require_run("plotting")
-        stop = self.n_lags if stop == 0 else stop
+        stop = self.n_lags if stop == 0 else min(stop, self.n_lags)
+        times = self.times[: self.n_lags]
         running_integral = (
             np.asarray(
                 ops.cumulative_trapezoid(
                     self.results.timeseries[start:stop:step],
-                    self.times[start:stop:step],
+                    times[start:stop:step],
                     initial=initial,
                 )
             )
@@ -215,4 +216,4 @@ class VelocityAutocorr(AnalysisBase):
         fig, ax = plt.subplots()
         ax.set_xlabel(xlabel)
         ax.set_ylabel(ylabel)
-        return ax.plot(self.times[start:stop:step], running_integral)
+        return ax.plot(times[start:stop:step], running_integral)

@@ -34,10 +34,10 @@ def chunked_per_particle(
     n_frames, n_particles, _ = series.shape
     n_chunks = -(-n_particles // chunk_particles)
 
-    acc = np.zeros(n_frames, dtype=np.float64)
-    by_particle = (
-        np.zeros((n_frames, n_particles)) if want_by_particle else None
-    )
+    # accumulators are sized from the kernel output (kernels may return
+    # fewer rows than n_frames, e.g. with max_lag capping)
+    acc = None
+    by_particle = None
     start_chunk = 0
 
     if checkpoint and os.path.exists(checkpoint):
@@ -56,6 +56,10 @@ def chunked_per_particle(
         lo = c * chunk_particles
         hi = min(lo + chunk_particles, n_particles)
         result = np.asarray(kernel(series[:, lo:hi, :]))
+        if acc is None:
+            acc = np.zeros(result.shape[0], dtype=np.float64)
+        if by_particle is None and want_by_particle:
+            by_particle = np.zeros((result.shape[0], n_particles))
         acc += result.sum(axis=1)
         if by_particle is not None:
             by_particle[:, lo:hi] = result
@@ -74,5 +78,7 @@ def chunked_per_particle(
                 np.savez(fh, **payload)
             os.replace(tmp, checkpoint)
 
+    if acc is None:  # zero particles / zero chunks
+        acc = np.zeros(n_frames, dtype=np.float64)
     timeseries = acc / max(n_particles, 1)
     return timeseries, by_particle
