@@ -56,16 +56,32 @@ def _phase_tables(n_rows: int, n_cols: int, period: int, sign: float,
     return jnp.cos(theta), sin_sign * jnp.sin(theta)
 
 
-def _apply_dft(re, im, sign: float):
-    """Dense DFT along axis 0 (length ≤ _BASE) via THREE real matmuls.
+def _use_ozaki(dtype) -> bool:
+    """Emulated-f64 GEMMs dominate the TPU budget (profiler-verified);
+    the Ozaki banded bf16 path replaces them there. CPU float64 GEMMs
+    are native and stay on the direct path."""
+    from . import ozaki
 
-    Karatsuba/3M complex product: emulated-float64 GEMMs dominate the
-    TPU budget (profiler: the two f64 matmul while-loops are ~the whole
-    analysis step), so trading one matmul for three cheap adds is a
-    direct ~25% win on the spectral path.
+    return (
+        dtype == jnp.float64
+        and jax.default_backend() != "cpu"
+        and ozaki.enabled()
+    )
+
+
+def _apply_dft(re, im, sign: float):
+    """Dense DFT along axis 0 (length ≤ _BASE).
+
+    float64 on TPU: Ozaki banded bf16 MXU products (ops/ozaki.py) —
+    each operand sliced once, four banded GEMM sets. Otherwise:
+    Karatsuba/3M complex product (three real matmuls instead of four).
     """
     n = re.shape[0]
     c, s = _phase_tables(n, n, n, sign, re.dtype)
+    if _use_ozaki(re.dtype):
+        from .ozaki import complex_dft_matmul
+
+        return complex_dft_matmul(c, s, re, im)
     # (c + i·s) @ (re + i·im) via 3M:
     p1 = c @ re
     p2 = s @ im

@@ -1,0 +1,144 @@
+"""Ozaki-scheme float64 matmul on the MXU (exact bf16 slice products).
+
+XLA's emulated float64 GEMM on TPU runs at ~134 Gf/s (profiler-
+verified, BENCH_NOTES.md) while native bf16 MXU matmuls run ~3 orders
+faster. The Ozaki splitting (Ozaki et al., Numer. Algorithms 2012)
+recovers high-precision products from low-precision hardware GEMMs:
+
+1. normalize each operand along the contraction axis by a power of two
+   (exact), so entries sit in [-2, 2);
+2. slice every value into δ=7-bit mantissa bands on an *absolutely
+   aligned* grid — each band is exactly representable in bfloat16;
+3. multiply band pairs with native bf16→f32 MXU GEMMs. With δ=7 and
+   K ≤ 512, every partial product set shares a grid ulp and its f32
+   accumulation is EXACT (7+7+log2(4·K) ≤ 24 bits);
+4. band-sum the partial products with compensated f32 adds (TwoSum),
+   convert the (hi, lo) pair to float64 once at the end.
+
+With 7 slices per operand and bands p+q ≤ 6, the result carries ~49
+significant bits (rel. error ~1e-14) — float64-grade for every
+numerics contract in this package — at a small multiple of bf16 GEMM
+cost. Disable with TRANSPORT_ANALYSIS_TPU_NO_OZAKI=1 (falls back to
+XLA's emulated float64 dot).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_DELTA = 7          # mantissa bits per slice
+_N_SLICES = 7       # 7·7 = 49 bits of the 53-bit f64 mantissa
+_MAX_BAND = 6       # keep products with p+q ≤ 6 (28 GEMMs)
+_K_LIMIT = 512      # exactness bound: 2·δ + log2(4·K) ≤ 24
+
+
+def enabled() -> bool:
+    return not os.environ.get("TRANSPORT_ANALYSIS_TPU_NO_OZAKI")
+
+
+def _slice_operand(x64, n_slices: int):
+    """Split a float64 array with |x| ≤ 1 into δ-bit absolutely-aligned
+    bands, each exactly representable in bfloat16.
+
+    The banding MUST start from the full-precision value: slicing a
+    float32 cast only ever recovers 24 bits, and float32's relative
+    rounding breaks the absolute grid alignment the exactness argument
+    needs. float64 elementwise is cheap on TPU (profiler: it is only
+    the f64 GEMMs that crawl), so the ~3 ops/slice here cost little.
+    """
+    bands = []
+    prev = jnp.zeros_like(x64)
+    for q in range(n_slices):
+        scale = 2.0 ** (_DELTA * (q + 1) - 1)
+        y = jnp.round(x64 * scale) / scale  # x to (q+1)·δ-1 frac bits
+        band = y - prev  # multiple of 2^-((q+1)δ-1), ≤ δ sig bits
+        bands.append(band.astype(jnp.bfloat16))
+        prev = y
+    return bands
+
+
+def _two_sum(a, b):
+    """Error-free f32 addition (Knuth): a + b = s + e exactly."""
+    s = a + b
+    bv = s - a
+    e = (a - (s - bv)) + (b - bv)
+    return s, e
+
+
+def prepare_lhs(a):
+    """Normalize (per row, exact powers of two) and band-slice the LHS.
+    Returns (bands, exp) for reuse across several products."""
+    if a.shape[1] > _K_LIMIT:
+        raise ValueError(f"contraction dim {a.shape[1]} exceeds {_K_LIMIT}")
+    amax = jnp.max(jnp.abs(a), axis=1, keepdims=True)
+    a_exp = jnp.exp2(jnp.ceil(jnp.log2(jnp.maximum(amax, 1e-300))))
+    return _slice_operand(a / a_exp, _N_SLICES), a_exp
+
+
+def prepare_rhs(b):
+    """Normalize (per column) and band-slice the RHS."""
+    bmax = jnp.max(jnp.abs(b), axis=0, keepdims=True)
+    b_exp = jnp.exp2(jnp.ceil(jnp.log2(jnp.maximum(bmax, 1e-300))))
+    return _slice_operand(b / b_exp, _N_SLICES), b_exp
+
+
+def banded_matmul(lhs_prep, rhs_prep):
+    """float64 product from prepared operands (exact bf16 GEMMs +
+    compensated f32 band merge)."""
+    a_bands, a_exp = lhs_prep
+    b_bands, b_exp = rhs_prep
+
+    # band products, grouped by total significance p+q; within a group
+    # the f32 accumulation is exact (shared grid ulp)
+    group_sums = []
+    for band in range(_MAX_BAND + 1):
+        acc = None
+        for p in range(min(band + 1, _N_SLICES)):
+            q = band - p
+            if q >= _N_SLICES:
+                continue
+            prod = jax.lax.dot(
+                a_bands[p],
+                b_bands[q],
+                precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32,
+            )
+            acc = prod if acc is None else acc + prod
+        group_sums.append(acc)
+
+    # compensated f32 summation across groups (descending magnitude)
+    hi = group_sums[0]
+    lo = jnp.zeros_like(hi)
+    for g in group_sums[1:]:
+        hi, e = _two_sum(hi, g)
+        lo = lo + e
+    # one f64 pass: combine the pair and undo the normalization
+    out = hi.astype(jnp.float64) + lo.astype(jnp.float64)
+    return out * (a_exp * b_exp)
+
+
+@jax.jit
+def matmul_f64_ozaki(a, b):
+    """C = a @ b for float64 operands via exact bf16 MXU GEMMs.
+
+    a: (M, K), b: (K, N), K ≤ 512. Accuracy ~1e-14 relative.
+    """
+    return banded_matmul(prepare_lhs(a), prepare_rhs(b))
+
+
+def complex_dft_matmul(c, s, re, im):
+    """(c + i·s) @ (re + i·im) with each operand sliced exactly once
+    (four banded products; slicing the big RHS dominates, so sharing
+    its preparation beats the 3M trick here)."""
+    c_p = prepare_lhs(c)
+    s_p = prepare_lhs(s)
+    re_p = prepare_rhs(re)
+    im_p = prepare_rhs(im)
+    out_re = banded_matmul(c_p, re_p) - banded_matmul(s_p, im_p)
+    out_im = banded_matmul(c_p, im_p) + banded_matmul(s_p, re_p)
+    return out_re, out_im
