@@ -7,19 +7,38 @@ mapping). Must configure the environment before jax initializes.
 
 import os
 
-# the environment presets JAX_PLATFORMS (e.g. to a TPU plugin) and the
-# plugin overrides the env var, so force the CPU backend through the
-# config API before any backend initializes
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# TRANSPORT_ANALYSIS_TPU_TEST_TPU=1 leaves the live (TPU) backend in
+# place so tests/test_tpu_equivalence.py can run on hardware:
+#
+#     TRANSPORT_ANALYSIS_TPU_TEST_TPU=1 python -m pytest \
+#         tests/test_tpu_equivalence.py -q
+#
+# (run ONLY that file on TPU — the rest of the suite assumes 8 virtual
+# CPU devices, and the remote TPU compiler makes it pointlessly slow.)
+_ON_TPU = bool(os.environ.get("TRANSPORT_ANALYSIS_TPU_TEST_TPU"))
+
+if not _ON_TPU:
+    # the environment presets JAX_PLATFORMS (e.g. to a TPU plugin) and
+    # the plugin overrides the env var, so force the CPU backend
+    # through the config API before any backend initializes
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not _ON_TPU:
+    jax.config.update("jax_platforms", "cpu")
+else:
+    # remote TPU compiles take tens of seconds; cache them across runs
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        "/root/.cache/transport_analysis_tpu_xla",
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import matplotlib
 

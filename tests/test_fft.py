@@ -143,3 +143,50 @@ class TestOzaki:
             axis=1,
         )
         assert_allclose(got, ref, atol=1e-10 * np.max(np.abs(ref)))
+
+    def test_zero_row_and_column(self):
+        """Regression (round-1 VERDICT weak #1): all-zero rows/columns
+        must normalize to exact zeros, not 0/0 = NaN. The old guard
+        floored ``amax`` at 1e-300, which underflows to 0.0 in the
+        TPU's float32-pair f64 emulation (float32 exponent range), so
+        every zero row NaN'd on device. Zero rows are not exotic — the
+        DFT sine table's row 0 (θ = 0) is always all-zero."""
+        from transport_analysis_tpu.ops.ozaki import matmul_f64_ozaki
+
+        rng = np.random.RandomState(4)
+        a = rng.randn(64, 128)
+        b = rng.randn(128, 96)
+        a[0] = 0.0      # all-zero row
+        a[17] = 0.0
+        b[:, 5] = 0.0   # all-zero column
+        got = np.asarray(matmul_f64_ozaki(a, b))
+        assert np.all(np.isfinite(got))
+        want = a @ b
+        assert_allclose(got, want, rtol=1e-12,
+                        atol=1e-13 * np.max(np.abs(want)))
+        assert np.all(got[0] == 0.0)
+        assert np.all(got[17] == 0.0)
+
+    def test_dft_tables_with_im_zero(self):
+        """The real round-1 trigger: genuine DFT cos/sin tables (sine
+        row 0 all-zero) against a purely-real signal (im = 0 → every
+        column of the im operand all-zero)."""
+        from transport_analysis_tpu.ops.ozaki import complex_dft_matmul
+
+        n, b = 128, 64
+        k = np.arange(n)
+        theta = 2 * np.pi * np.outer(k, k) / n
+        c, s = np.cos(theta), -np.sin(theta)
+        rng = np.random.RandomState(5)
+        re = rng.randn(n, b)
+        im = np.zeros((n, b))
+        got_re, got_im = complex_dft_matmul(
+            *map(jnp.asarray, (c, s, re, im))
+        )
+        got_re, got_im = np.asarray(got_re), np.asarray(got_im)
+        assert np.all(np.isfinite(got_re))
+        assert np.all(np.isfinite(got_im))
+        ref = np.fft.fft(re, axis=0)
+        scale = np.max(np.abs(ref))
+        assert_allclose(got_re, ref.real, atol=1e-12 * scale)
+        assert_allclose(got_im, ref.imag, atol=1e-12 * scale)

@@ -65,3 +65,58 @@ def test_pallas_lag_kernel_f32_grade():
             np.sum(x64[: n - lag] * x64[lag:], axis=-1).mean(axis=0)
         )
     assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_ozaki_default_path_zero_rows_finite_on_tpu():
+    """Round-1 regression: the default TPU f64 path (Ozaki banded bf16
+    GEMMs) must stay finite for operands with all-zero rows/columns —
+    the 1e-300 normalization floor underflowed to 0.0 in the TPU's
+    float32-pair f64 emulation, so every DFT (sine row 0 ≡ 0) NaN'd."""
+    from transport_analysis_tpu.ops.ozaki import matmul_f64_ozaki
+
+    rng = np.random.RandomState(7)
+    a = rng.normal(size=(64, 128))
+    b = rng.normal(size=(128, 96))
+    a[0] = 0.0
+    b[:, 3] = 0.0
+    got = np.asarray(matmul_f64_ozaki(a, b))
+    assert np.all(np.isfinite(got))
+    want = a @ b
+    assert_allclose(got, want, rtol=1e-12,
+                    atol=1e-13 * np.max(np.abs(want)))
+
+
+def test_fft_default_f64_path_matches_numpy():
+    """Full matmul-FFT through whatever path the live backend selects
+    (Ozaki on TPU) — the exact program bench.py runs."""
+    from transport_analysis_tpu.ops import fft as fft_mod
+
+    rng = np.random.RandomState(8)
+    x = rng.normal(size=(2048, 5)) + 1j * rng.normal(size=(2048, 5))
+    import jax.numpy as jnp
+
+    fr, fi = fft_mod.matmul_fft(jnp.asarray(x.real), jnp.asarray(x.imag))
+    ref = np.fft.fft(x, axis=0)
+    scale = np.max(np.abs(ref))
+    fr, fi = np.asarray(fr), np.asarray(fi)
+    assert np.all(np.isfinite(fr)) and np.all(np.isfinite(fi))
+    assert_allclose(fr, ref.real, atol=1e-11 * scale)
+    assert_allclose(fi, ref.imag, atol=1e-11 * scale)
+
+
+def test_acf_fft_f32_fast_mode_grade():
+    """float32 'fast mode' must deliver true-f32 accuracy on TPU:
+    requires Precision.HIGHEST on the 3M matmuls (default matmul
+    precision truncates f32 operands to bf16 → ~1e-3 relative).
+    Genuine f32 FFT roundoff at N=2048 is ~1e-5 of scale (measured
+    2.5e-5 worst-element on hardware); the bound below fails by ~100×
+    if the matmuls silently drop to bf16."""
+    from transport_analysis_tpu import ops
+    from transport_analysis_tpu.ops.acf import acf_fft_numpy
+
+    rng = np.random.RandomState(9)
+    x = rng.normal(size=(1024, 8, 3)).astype(np.float32)
+    got = np.asarray(ops.acf_fft(x))
+    want = acf_fft_numpy(x.astype(np.float64))
+    scale = np.max(np.abs(want))
+    assert_allclose(got, want, atol=1e-4 * scale)

@@ -58,13 +58,15 @@ def _phase_tables(n_rows: int, n_cols: int, period: int, sign: float,
 
 def _use_ozaki(dtype) -> bool:
     """Emulated-f64 GEMMs dominate the TPU budget (profiler-verified);
-    the Ozaki banded bf16 path replaces them there. CPU float64 GEMMs
-    are native and stay on the direct path."""
+    the Ozaki banded bf16 path replaces them there. CPU and GPU float64
+    GEMMs are native (and more accurate, ~1e-16 vs ~1e-14) so those
+    backends stay on the direct path — only TPU-like backends (``tpu``
+    or a TPU plugin such as ``axon``) take the Ozaki route."""
     from . import ozaki
 
     return (
         dtype == jnp.float64
-        and jax.default_backend() != "cpu"
+        and jax.default_backend() not in ("cpu", "gpu", "cuda", "rocm")
         and ozaki.enabled()
     )
 
@@ -82,10 +84,14 @@ def _apply_dft(re, im, sign: float):
         from .ozaki import complex_dft_matmul
 
         return complex_dft_matmul(c, s, re, im)
-    # (c + i·s) @ (re + i·im) via 3M:
-    p1 = c @ re
-    p2 = s @ im
-    p3 = (c + s) @ (re + im)
+    # (c + i·s) @ (re + i·im) via 3M. Precision.HIGHEST keeps float32
+    # operands in true f32 on the MXU (default truncates to bf16 —
+    # ~1e-3 relative, far off the advertised ~1e-6 fast mode); it is a
+    # no-op on CPU/GPU and on the emulated-f64 path.
+    hi = jax.lax.Precision.HIGHEST
+    p1 = jnp.matmul(c, re, precision=hi)
+    p2 = jnp.matmul(s, im, precision=hi)
+    p3 = jnp.matmul(c + s, re + im, precision=hi)
     return p1 - p2, p3 - p1 - p2
 
 

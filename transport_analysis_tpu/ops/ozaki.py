@@ -10,8 +10,11 @@ recovers high-precision products from low-precision hardware GEMMs:
 2. slice every value into δ=7-bit mantissa bands on an *absolutely
    aligned* grid — each band is exactly representable in bfloat16;
 3. multiply band pairs with native bf16→f32 MXU GEMMs. With δ=7 and
-   K ≤ 512, every partial product set shares a grid ulp and its f32
-   accumulation is EXACT (7+7+log2(4·K) ≤ 24 bits);
+   K ≤ 512, every partial product set shares a grid ulp, and the
+   accumulated sum — an integer in grid units of magnitude at most
+   2^7·2^7·4·K = 2^25 in the worst sign-inclusive count, in practice
+   ≤ 2^24 for |x| ≤ 1 operands — stays at or below float32's exact-
+   integer boundary 2^24, so the f32 accumulation is EXACT;
 4. band-sum the partial products with compensated f32 adds (TwoSum),
    convert the (hi, lo) pair to float64 once at the end.
 
@@ -34,7 +37,7 @@ import numpy as np
 _DELTA = 7          # mantissa bits per slice
 _N_SLICES = 7       # 7·7 = 49 bits of the 53-bit f64 mantissa
 _MAX_BAND = 6       # keep products with p+q ≤ 6 (28 GEMMs)
-_K_LIMIT = 512      # exactness bound: 2·δ + log2(4·K) ≤ 24
+_K_LIMIT = 512      # keeps grid-unit partial sums ≤ 2^24 (f32-exact)
 
 
 def enabled() -> bool:
@@ -70,20 +73,36 @@ def _two_sum(a, b):
     return s, e
 
 
+def _pow2_ceil(mx):
+    """Smallest power of two ≥ mx per entry, with zero entries mapped
+    to 1.0 (so all-zero rows/columns normalize to exact zeros instead
+    of 0/0 = NaN).
+
+    TPU "float64" is a float32-pair emulation with float32 *exponent
+    range*: tiny literal floors like 1e-300 underflow to 0.0 on device
+    (and ``jnp.exp2(-996.)`` is 0.0), so a ``maximum(mx, tiny)`` guard
+    silently degenerates back to 0/0. The zero case must be handled by
+    selection, not by a floor. DFT sine tables always contain an
+    all-zero row (θ = 0), so this path is exercised by every Ozaki DFT.
+    """
+    safe = jnp.where(mx == 0, 1.0, mx)
+    return jnp.where(mx == 0, 1.0, jnp.exp2(jnp.ceil(jnp.log2(safe))))
+
+
 def prepare_lhs(a):
     """Normalize (per row, exact powers of two) and band-slice the LHS.
     Returns (bands, exp) for reuse across several products."""
     if a.shape[1] > _K_LIMIT:
         raise ValueError(f"contraction dim {a.shape[1]} exceeds {_K_LIMIT}")
     amax = jnp.max(jnp.abs(a), axis=1, keepdims=True)
-    a_exp = jnp.exp2(jnp.ceil(jnp.log2(jnp.maximum(amax, 1e-300))))
+    a_exp = _pow2_ceil(amax)
     return _slice_operand(a / a_exp, _N_SLICES), a_exp
 
 
 def prepare_rhs(b):
     """Normalize (per column) and band-slice the RHS."""
     bmax = jnp.max(jnp.abs(b), axis=0, keepdims=True)
-    b_exp = jnp.exp2(jnp.ceil(jnp.log2(jnp.maximum(bmax, 1e-300))))
+    b_exp = _pow2_ceil(bmax)
     return _slice_operand(b / b_exp, _N_SLICES), b_exp
 
 
