@@ -1,0 +1,184 @@
+"""Frozen on-disk format fixtures for TRR and XTC.
+
+Round-trip tests alone can't catch a *symmetric* deviation from the
+real GROMACS formats (writer and reader drifting together). True
+ecosystem goldens (files produced by GROMACS/MDAnalysis) are
+unobtainable in this environment — no MDAnalysis install, no network,
+and the reference snapshot ships no TRR blob (`.MISSING_LARGE_BLOBS`).
+This file provides the two strongest available substitutes:
+
+1. byte-frozen fixtures committed to git: any change to either codec
+   that alters the on-disk bytes or the decoded values fails loudly
+   instead of drifting silently;
+2. spec-level header assertions decoded with raw ``struct`` — magic
+   numbers, field offsets, endianness, and unit conventions taken from
+   the public GROMACS trnio/xdrfile layout (TRR magic 1993, XTC magic
+   1995, big-endian XDR, nm on disk vs Å in the API).
+"""
+
+import os
+import struct
+
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+from transport_analysis_tpu.io.trr import TRRReader
+from transport_analysis_tpu.io.xtc import XTCReader
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+GOLD_TRR = os.path.join(HERE, "golden", "golden.trr")
+GOLD_XTC = os.path.join(HERE, "golden", "golden.xtc")
+GOLD_XTC12 = os.path.join(HERE, "golden", "golden12.xtc")
+GOLD_NPZ = os.path.join(HERE, "golden", "golden_arrays.npz")
+
+
+@pytest.fixture(scope="module")
+def golden():
+    return np.load(GOLD_NPZ)
+
+
+class TestGoldenTRR:
+    def test_decoded_values(self, golden):
+        r = TRRReader(GOLD_TRR)
+        assert r.n_frames == 3
+        assert r.n_atoms == 5
+        for i in range(3):
+            ts = r[i]
+            assert_allclose(ts.positions, golden["positions"][i],
+                            atol=1e-5)
+            assert_allclose(ts.velocities, golden["velocities"][i],
+                            atol=1e-5)
+            assert_allclose(ts.dimensions, golden["dimensions"],
+                            atol=1e-4)
+            assert ts.time == pytest.approx(0.5 * i)
+
+    def test_header_spec_fields(self):
+        """Raw struct decode of frame 0's header against the GROMACS
+        trnio layout: magic 1993, version string, section sizes,
+        natoms/step, big-endian floats, nm units on disk."""
+        with open(GOLD_TRR, "rb") as fh:
+            buf = fh.read()
+        magic, slen, _ = struct.unpack_from(">iii", buf, 0)
+        assert magic == 1993
+        # version string (slen includes NUL)
+        off = 12
+        version = buf[off:off + slen - 1]
+        assert b"GMX_trn_file" in version
+        off += slen - 1
+        (ir_size, e_size, box_size, vir_size, pres_size, top_size,
+         sym_size, x_size, v_size, f_size) = struct.unpack_from(
+            ">10i", buf, off)
+        assert ir_size == e_size == 0
+        assert box_size == 9 * 4          # 3x3 f32 box matrix
+        assert x_size == v_size == 5 * 3 * 4
+        assert f_size == 0
+        off += 40
+        natoms, step, _nre = struct.unpack_from(">iii", buf, off)
+        assert natoms == 5
+        assert step == 0
+        off += 12
+        t, lam = struct.unpack_from(">ff", buf, off)
+        assert t == 0.0 and lam == 0.0
+        off += 8
+        # box matrix in nm: diagonal 2.0 (20 Å)
+        box = np.frombuffer(buf, ">f4", 9, off).reshape(3, 3)
+        assert_allclose(np.diag(box), [2.0, 2.0, 2.0], atol=1e-6)
+
+    def test_bytes_frozen(self, golden, tmp_path):
+        """Re-encoding the golden arrays must reproduce the committed
+        bytes exactly — catches any writer drift."""
+        from transport_analysis_tpu.io.trr import TRRWriter
+
+        out = tmp_path / "re.trr"
+        with TRRWriter(out, n_atoms=5) as w:
+            for i in range(3):
+                w.write(positions=golden["positions"][i],
+                        velocities=golden["velocities"][i],
+                        dimensions=golden["dimensions"],
+                        time=0.5 * i, step=i)
+        with open(GOLD_TRR, "rb") as fh:
+            want = fh.read()
+        assert out.read_bytes() == want
+
+
+class TestGoldenXTC:
+    def test_decoded_values(self, golden):
+        r = XTCReader(GOLD_XTC)
+        assert r.n_frames == 3
+        assert r.n_atoms == 5
+        for i in range(3):
+            ts = r[i]
+            # XTC quantizes to 1/precision nm = 0.01 Å at 1000
+            assert_allclose(ts.positions, golden["positions"][i],
+                            atol=0.011)
+            assert_allclose(ts.dimensions, golden["dimensions"],
+                            atol=1e-4)
+
+    def test_header_spec_fields_plain_path(self):
+        """XDR layout for ≤ 9 atoms (uncompressed per xdrfile): magic
+        1995, natoms, step, time, 3x3 box, lsize, then plain >f4
+        coordinates in nm — NO precision field on this path."""
+        with open(GOLD_XTC, "rb") as fh:
+            buf = fh.read()
+        magic, natoms, step = struct.unpack_from(">iii", buf, 0)
+        assert magic == 1995
+        assert natoms == 5
+        assert step == 0
+        (t,) = struct.unpack_from(">f", buf, 12)
+        assert t == 0.0
+        box = np.frombuffer(buf, ">f4", 9, 16).reshape(3, 3)
+        assert_allclose(np.diag(box), [2.0, 2.0, 2.0], atol=1e-6)
+        (lsize,) = struct.unpack_from(">i", buf, 52)
+        assert lsize == 5
+        golden = np.load(GOLD_NPZ)
+        coords_nm = np.frombuffer(buf, ">f4", 15, 56).reshape(5, 3)
+        assert_allclose(coords_nm * 10.0, golden["positions"][0],
+                        atol=1e-5)
+
+    def test_header_spec_fields_compressed_path(self, golden):
+        """> 9 atoms: the compressed block carries natoms echoed,
+        precision, minint/maxint bounds, smallidx, nbytes."""
+        with open(GOLD_XTC12, "rb") as fh:
+            buf = fh.read()
+        magic, natoms, step = struct.unpack_from(">iii", buf, 0)
+        assert magic == 1995
+        assert natoms == 12
+        (lsize,) = struct.unpack_from(">i", buf, 52)
+        assert lsize == 12
+        (prec,) = struct.unpack_from(">f", buf, 56)
+        assert prec == 1000.0
+        minint = struct.unpack_from(">3i", buf, 60)
+        maxint = struct.unpack_from(">3i", buf, 72)
+        assert all(mn <= mx for mn, mx in zip(minint, maxint))
+        # decoded values match the source to quantization grid
+        r = XTCReader(GOLD_XTC12)
+        for i in range(3):
+            assert_allclose(r[i].positions, golden["positions12"][i],
+                            atol=0.011)
+
+    def test_compressed_bytes_frozen(self, golden, tmp_path):
+        from transport_analysis_tpu.io.xtc import XTCWriter
+
+        out = tmp_path / "re12.xtc"
+        with XTCWriter(out, n_atoms=12) as w:
+            for i in range(3):
+                w.write(positions=golden["positions12"][i],
+                        dimensions=golden["dimensions"],
+                        time=0.5 * i, step=i)
+        with open(GOLD_XTC12, "rb") as fh:
+            want = fh.read()
+        assert out.read_bytes() == want
+
+    def test_bytes_frozen(self, golden, tmp_path):
+        from transport_analysis_tpu.io.xtc import XTCWriter
+
+        out = tmp_path / "re.xtc"
+        with XTCWriter(out, n_atoms=5) as w:
+            for i in range(3):
+                w.write(positions=golden["positions"][i],
+                        dimensions=golden["dimensions"],
+                        time=0.5 * i, step=i)
+        with open(GOLD_XTC, "rb") as fh:
+            want = fh.read()
+        assert out.read_bytes() == want

@@ -10,6 +10,7 @@ decode) if no toolchain is available or
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -18,9 +19,7 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "trr_decode.cpp")
-_SO = os.path.join(_HERE, "libtrrdecode.so")
 _XTC_SRC = os.path.join(_HERE, "xtc_codec.cpp")
-_XTC_SO = os.path.join(_HERE, "libxtccodec.so")
 
 _lock = threading.Lock()
 _lib = None
@@ -29,18 +28,27 @@ _xtc_lib = None
 _xtc_failed = False
 
 
-def _compile(src: str, so: str) -> bool:
-    """(Re)build a shared object from src with g++ if stale."""
-    if os.path.exists(so) and (
-        os.path.getmtime(so) >= os.path.getmtime(src)
-    ):
-        return True
+def _compile(src: str, base: str) -> str:
+    """Build (or reuse) a shared object for ``src``; returns its path.
+
+    The artifact name embeds a hash of the source, so staleness
+    detection never depends on mtimes (git checkouts give source and
+    binary equal mtimes, which made an mtime check silently keep a
+    stale binary). A changed source simply compiles to a new name.
+    """
+    with open(src, "rb") as fh:
+        digest = hashlib.sha1(fh.read()).hexdigest()[:12]
+    so = os.path.join(_HERE, f"{base}-{digest}.so")
+    if os.path.exists(so):
+        return so
+    tmp = so + f".tmp{os.getpid()}"
     subprocess.run(
-        ["g++", "-O3", "-shared", "-fPIC", "-o", so, src, "-lpthread"],
+        ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, src, "-lpthread"],
         check=True,
         capture_output=True,
     )
-    return True
+    os.replace(tmp, so)  # atomic: concurrent builders race benignly
+    return so
 
 
 def load_xtc_codec():
@@ -55,8 +63,7 @@ def load_xtc_codec():
             _xtc_failed = True
             return None
         try:
-            _compile(_XTC_SRC, _XTC_SO)
-            lib = ctypes.CDLL(_XTC_SO)
+            lib = ctypes.CDLL(_compile(_XTC_SRC, "libxtccodec"))
             lib.xtc_decode.restype = ctypes.c_int
             lib.xtc_decode.argtypes = [
                 ctypes.c_int64,                       # natoms
@@ -96,11 +103,10 @@ def _load_library():
             _lib_failed = True
             return None
         try:
-            _compile(_SRC, _SO)
-            lib = ctypes.CDLL(_SO)
+            lib = ctypes.CDLL(_compile(_SRC, "libtrrdecode"))
             lib.trr_decode_batch.restype = ctypes.c_int
             lib.trr_decode_batch.argtypes = [
-                ctypes.c_char_p,                    # buf
+                ctypes.c_void_p,                    # buf (mmap base)
                 np.ctypeslib.ndpointer(np.int64),   # data_offsets
                 ctypes.c_int64,                     # n_frames
                 ctypes.c_int64,                     # natoms
@@ -158,9 +164,11 @@ def get_trr_decoder():
         out["times"] = np.array(
             [index[int(i)].time for i in indices], np.float64
         )
+        from .._mmap import base_address
+
         n_threads = min(8, os.cpu_count() or 1)
         lib.trr_decode_batch(
-            reader._buf,
+            base_address(reader._buf),
             offsets,
             F,
             reader.n_atoms,

@@ -126,8 +126,9 @@ class TRRReader(ProtoReader):
     def __init__(self, path):
         super().__init__()
         self._path = str(path)
-        with open(self._path, "rb") as fh:
-            self._buf = fh.read()
+        from ._mmap import map_readonly
+
+        self._buf = map_readonly(self._path)
         self._index: list[_FrameInfo] = []
         offset = 0
         while True:

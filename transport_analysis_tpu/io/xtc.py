@@ -41,8 +41,9 @@ class XTCReader(ProtoReader):
     def __init__(self, path):
         super().__init__()
         self._path = str(path)
-        with open(self._path, "rb") as fh:
-            self._buf = fh.read()
+        from ._mmap import map_readonly
+
+        self._buf = map_readonly(self._path)
         self._index: list[_XTCFrame] = []
         pos = 0
         buf = self._buf
