@@ -192,3 +192,47 @@ class TestPrefixSumBlocked:
             got = np.asarray(_prefix_sum_blocked(np.asarray(x)))
             want = np.cumsum(x, axis=0)
             assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
+class TestEinsteinOffsetCancellation:
+    """Round-1 VERDICT weak #8: s_head + s_tail − 2·corr cancels
+    catastrophically at small lags when the series carries a large
+    mean offset. The kernel now centers each (particle, component)
+    series first — differences are invariant under centering — so
+    small-lag relative accuracy must hold for offset data in BOTH
+    dtypes."""
+
+    def _oracle(self, a):
+        n = a.shape[0]
+        out = np.zeros((n, a.shape[1]))
+        for lag in range(1, n):
+            diff = a[:-lag] - a[lag:]
+            out[lag] = np.square(diff).sum(-1).mean(0)
+        return out
+
+    def test_f64_small_lag_with_large_offset(self):
+        from transport_analysis_tpu import ops
+
+        rng = np.random.RandomState(11)
+        # random walk with a huge uniform offset: diffs ~1, values ~1e6
+        a = np.cumsum(rng.normal(0, 1, (256, 4, 3)), axis=0)
+        a += rng.uniform(1e6, 2e6, (1, 4, 3))
+        got = np.asarray(
+            ops.einstein_difference_fft(a, "sum")
+        )
+        want = self._oracle(a)
+        # small lags are the cancellation hot zone — check them tightly
+        assert_allclose(got[1:16], want[1:16], rtol=1e-9)
+        assert_allclose(got, want, rtol=1e-8)
+
+    def test_f32_small_lag_with_offset(self):
+        from transport_analysis_tpu import ops
+
+        rng = np.random.RandomState(12)
+        a64 = np.cumsum(rng.normal(0, 1, (256, 4, 3)), axis=0)
+        a64 += rng.uniform(10, 20, (1, 4, 3))  # bench-like offsets
+        got = np.asarray(
+            ops.einstein_difference_fft(a64.astype(np.float32), "sum")
+        )
+        want = self._oracle(a64)
+        assert_allclose(got[1:16], want[1:16], rtol=1e-3)

@@ -81,3 +81,76 @@ def test_checkpoint_resume(trr_universe, tmp_path):
         checkpoint=ckpt,
     )
     assert_allclose(ooc2, ooc, rtol=1e-12)
+
+
+def test_helfand_out_of_core_matches_in_memory(trr_universe, tmp_path):
+    from transport_analysis_tpu import ViscosityHelfand
+    from transport_analysis_tpu.parallel.out_of_core import (
+        helfand_out_of_core,
+    )
+
+    trr_universe.add_TopologyAttr(
+        "masses", np.linspace(1.0, 16.0, 10)
+    )
+    ts, visc = helfand_out_of_core(
+        trr_universe, str(tmp_path / "spool_h"), atom_chunk=3,
+        linear_fit_window=(2, 10),
+    )
+    ref = ViscosityHelfand(
+        trr_universe.atoms, linear_fit_window=(2, 10)
+    ).run()
+    # spools quantize the m·v·x accumulator to float32 (the in-memory
+    # engine keeps float64 throughout) — 1e-5 relative is the f32 floor
+    assert_allclose(ts, ref.results.timeseries, rtol=2e-5, atol=1e-12)
+    # the fit differences small numbers — f32 spool noise amplifies
+    assert visc == pytest.approx(ref.results.viscosity, rel=1e-3)
+
+
+def test_helfand_out_of_core_strided_capped(trr_universe, tmp_path):
+    from transport_analysis_tpu import ViscosityHelfand
+    from transport_analysis_tpu.parallel.out_of_core import (
+        helfand_out_of_core,
+    )
+
+    trr_universe.add_TopologyAttr("masses", np.full(10, 4.0))
+    ts, visc = helfand_out_of_core(
+        trr_universe, str(tmp_path / "spool_h2"), atom_chunk=4,
+        start=2, stop=20, step=2, max_lag=6,
+    )
+    ref = ViscosityHelfand(trr_universe.atoms, max_lag=6).run(
+        start=2, stop=20, step=2
+    )
+    assert ts.shape == (6,)
+    assert visc is None
+    assert_allclose(ts, ref.results.timeseries, rtol=2e-5, atol=1e-12)
+
+
+def test_msd_out_of_core_matches_in_memory(trr_universe, tmp_path):
+    from transport_analysis_tpu import EinsteinMSD
+    from transport_analysis_tpu.parallel.out_of_core import (
+        msd_out_of_core,
+    )
+
+    ooc = msd_out_of_core(
+        trr_universe, str(tmp_path / "spool_m"), atom_chunk=3
+    )
+    ref = EinsteinMSD(trr_universe, select="all").run()
+    assert_allclose(ooc, ref.results.timeseries, rtol=1e-5)
+
+
+def test_helfand_checkpoint_resume(trr_universe, tmp_path):
+    from transport_analysis_tpu.parallel.out_of_core import (
+        helfand_out_of_core,
+    )
+
+    trr_universe.add_TopologyAttr("masses", np.full(10, 2.0))
+    ckpt = str(tmp_path / "h.npz")
+    ts1, _ = helfand_out_of_core(
+        trr_universe, str(tmp_path / "spool_h3"), atom_chunk=3,
+        checkpoint=ckpt,
+    )
+    ts2, _ = helfand_out_of_core(
+        trr_universe, str(tmp_path / "spool_h3"), atom_chunk=3,
+        checkpoint=ckpt,
+    )
+    assert_allclose(ts2, ts1, rtol=1e-12)

@@ -106,6 +106,14 @@ def _prefix_sum_blocked(x: jax.Array) -> jax.Array:
 def _einstein_fft_impl(a: jax.Array, reduce_mode: str) -> jax.Array:
     N, P, d = a.shape
 
+    # (a[i+lag] - a[i])² is invariant under a → a - c per series, but
+    # the identity below (s_head + s_tail - 2·corr) cancels
+    # catastrophically at small lags when the series carries a large
+    # mean offset (positions routinely do). Center each (particle,
+    # component) series first: zero-mean data makes the cancellation
+    # benign in f32 and tightens f64 by orders of magnitude.
+    a = a - jnp.mean(a, axis=0, keepdims=True)
+
     # C(lag, p) = sum_i sum_d a[i]·a[i+lag]   (raw, unnormalized)
     corr = raw_autocorr(a.reshape(N, P * d)).reshape(N, P, d)
     corr = jnp.sum(corr, axis=-1)  # (N, P)

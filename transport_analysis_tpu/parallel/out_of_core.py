@@ -36,8 +36,19 @@ def build_spools(
     atom_chunk: int,
     field: str = "velocities",
     frame_block: int = 1024,
+    transform=None,
+    aux: Sequence[str] = (),
 ) -> list[str]:
     """Pass 1: stream-decode ``frames`` and scatter into spool files.
+
+    ``field`` names the spools; by default it is also the batch key to
+    spool. ``transform(batch) → (nb, n_selected_atoms, d)`` overrides
+    the per-block extraction — this is how derived accumulators (the
+    Helfand m·v·x) spool without materializing their factors twice.
+    ``aux`` lists per-frame scalar batch keys (e.g. ``volumes``) to
+    collect across the whole pass; they are persisted next to the
+    spools (``{field}_aux.npz``, see :func:`load_aux`) so resumed runs
+    skip the decode entirely.
 
     Returns the spool paths (one per atom chunk). Existing complete
     spools are reused (resume support).
@@ -48,6 +59,10 @@ def build_spools(
     n_atoms = len(atom_indices)
     d = len(dim)
     n_chunks = -(-n_atoms // atom_chunk)
+
+    if transform is None:
+        def transform(batch):  # noqa: F811 — default extraction
+            return batch[field][:, atom_indices][:, :, dim]
 
     paths = [
         os.path.join(spool_dir, f"{field}_chunk{c:05d}.f32")
@@ -69,22 +84,36 @@ def build_spools(
             )
         )
 
+    aux_acc: dict[str, list] = {k: [] for k in aux}
     row = 0
     for batch in prefetch_batches(reader, frames,
                                   block_size=frame_block):
-        data = batch[field][:, atom_indices][:, :, dim]
+        data = np.asarray(transform(batch))
         nb = data.shape[0]
         for c, mm in enumerate(mmaps):
             lo = c * atom_chunk
             hi = min(lo + atom_chunk, n_atoms)
             mm[row:row + nb] = data[:, lo:hi]
+        for k in aux:
+            aux_acc[k].append(np.asarray(batch[k]))
         row += nb
     for mm in mmaps:
         mm.flush()
     del mmaps
+    if aux:
+        np.savez(
+            os.path.join(spool_dir, f"{field}_aux.npz"),
+            **{k: np.concatenate(v) for k, v in aux_acc.items()},
+        )
     with open(marker, "w") as fh:
         fh.write("ok\n")
     return paths
+
+
+def load_aux(spool_dir: str, field: str) -> dict:
+    """Per-frame scalars collected during :func:`build_spools` pass 1."""
+    with np.load(os.path.join(spool_dir, f"{field}_aux.npz")) as z:
+        return {k: z[k] for k in z.files}
 
 
 def correlate_spools(
@@ -118,6 +147,19 @@ def correlate_spools(
     return acc / max(n_particles, 1)
 
 
+def _resolve(universe_or_ag, start, stop, step):
+    from ..core.groups import AtomGroup
+
+    ag = (
+        universe_or_ag
+        if isinstance(universe_or_ag, AtomGroup)
+        else universe_or_ag.atoms
+    )
+    reader = ag.universe.trajectory
+    s, e, st = reader.check_slice_indices(start, stop, step)
+    return ag, reader, np.arange(s, e, st)
+
+
 def vacf_out_of_core(
     universe_or_ag,
     spool_dir: str,
@@ -134,17 +176,8 @@ def vacf_out_of_core(
     Returns the particle-averaged VACF (max_lag or n_frames long).
     """
     from .. import ops
-    from ..core.groups import AtomGroup
 
-    ag = (
-        universe_or_ag
-        if isinstance(universe_or_ag, AtomGroup)
-        else universe_or_ag.atoms
-    )
-    reader = ag.universe.trajectory
-    s, e, st = reader.check_slice_indices(start, stop, step)
-    frames = np.arange(s, e, st)
-
+    ag, reader, frames = _resolve(universe_or_ag, start, stop, step)
     paths = build_spools(
         reader, frames, ag.indices, list(dim), spool_dir, atom_chunk,
         field="velocities",
@@ -152,6 +185,98 @@ def vacf_out_of_core(
 
     def kernel(block):
         out = ops.acf_fft(np.asarray(block, dtype=np.float64))
+        return out[:max_lag] if max_lag else out
+
+    return correlate_spools(
+        kernel, paths, len(ag), checkpoint=checkpoint
+    )
+
+
+def helfand_out_of_core(
+    universe_or_ag,
+    spool_dir: str,
+    atom_chunk: int = 4096,
+    dim: Sequence[int] = (0, 1, 2),
+    temp_avg: float = 300.0,
+    start=None,
+    stop=None,
+    step=None,
+    max_lag: Optional[int] = None,
+    checkpoint: Optional[str] = None,
+    linear_fit_window: Optional[tuple] = None,
+):
+    """Out-of-core Einstein–Helfand viscosity function (and slope).
+
+    Pass 1 spools the *derived accumulator* m·v·x — one float32 stream
+    instead of separate velocity/position spools — and collects per-
+    frame box volumes; pass 2 runs the FFT lag-difference kernel per
+    atom chunk. Mirrors ``ViscosityHelfand`` semantics (mean over
+    components, ÷ 2·k_B·⟨V⟩·T, lag-0 row ≡ 0; reference
+    viscosity.py:201-245) at trajectories far beyond host RAM.
+
+    Returns ``(timeseries, viscosity_or_None)``.
+    """
+    from .. import ops
+    from ..utils.units import constants
+
+    ag, reader, frames = _resolve(universe_or_ag, start, stop, step)
+    masses = np.asarray(ag.masses, np.float64)
+    indices = ag.indices
+    dim = list(dim)
+
+    def transform(batch):
+        v = batch["velocities"][:, indices][:, :, dim]
+        x = batch["positions"][:, indices][:, :, dim]
+        return masses[None, :, None] * v.astype(np.float64) * x
+
+    paths = build_spools(
+        reader, frames, indices, dim, spool_dir, atom_chunk,
+        field="mvx", transform=transform, aux=("volumes", "times"),
+    )
+    vol_avg = float(np.mean(load_aux(spool_dir, "mvx")["volumes"]))
+
+    def kernel(block):
+        out = ops.einstein_difference_fft(
+            np.asarray(block, dtype=np.float64), "mean"
+        )
+        return out[:max_lag] if max_lag else out
+
+    raw = correlate_spools(kernel, paths, len(ag), checkpoint=checkpoint)
+    k_B = constants["Boltzmann_constant"]
+    timeseries = raw / (2.0 * k_B * vol_avg * temp_avg)
+
+    viscosity = None
+    if linear_fit_window is not None:
+        lo, hi = linear_fit_window
+        lagtimes = np.arange(len(timeseries), dtype=np.float64)
+        slope, _ = np.polyfit(lagtimes[lo:hi], timeseries[lo:hi], 1)
+        viscosity = slope
+    return timeseries, viscosity
+
+
+def msd_out_of_core(
+    universe_or_ag,
+    spool_dir: str,
+    atom_chunk: int = 4096,
+    dim: Sequence[int] = (0, 1, 2),
+    start=None,
+    stop=None,
+    step=None,
+    max_lag: Optional[int] = None,
+    checkpoint: Optional[str] = None,
+) -> np.ndarray:
+    """Out-of-core Einstein MSD (components summed, matching
+    ``EinsteinMSD`` / tidynamics.msd semantics)."""
+    from .. import ops
+
+    ag, reader, frames = _resolve(universe_or_ag, start, stop, step)
+    paths = build_spools(
+        reader, frames, ag.indices, list(dim), spool_dir, atom_chunk,
+        field="positions",
+    )
+
+    def kernel(block):
+        out = ops.msd_fft(np.asarray(block, dtype=np.float64))
         return out[:max_lag] if max_lag else out
 
     return correlate_spools(
