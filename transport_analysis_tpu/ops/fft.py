@@ -71,28 +71,33 @@ def _use_ozaki(dtype) -> bool:
     )
 
 
-def _apply_dft(re, im, sign: float):
-    """Dense DFT along axis 0 (length ≤ _BASE).
+def complex_matmul(c, s, re, im):
+    """(c + i·s) @ (re + i·im) on the backend's best real-GEMM path.
 
     float64 on TPU: Ozaki banded bf16 MXU products (ops/ozaki.py) —
     each operand sliced once, four banded GEMM sets. Otherwise:
     Karatsuba/3M complex product (three real matmuls instead of four).
+    Precision.HIGHEST keeps float32 operands in true f32 on the MXU
+    (default truncates to bf16 — ~1e-3 relative, far off the
+    advertised ~1e-6 fast mode); it is a no-op on CPU/GPU and on the
+    emulated-f64 path.
     """
-    n = re.shape[0]
-    c, s = _phase_tables(n, n, n, sign, re.dtype)
     if _use_ozaki(re.dtype):
         from .ozaki import complex_dft_matmul
 
         return complex_dft_matmul(c, s, re, im)
-    # (c + i·s) @ (re + i·im) via 3M. Precision.HIGHEST keeps float32
-    # operands in true f32 on the MXU (default truncates to bf16 —
-    # ~1e-3 relative, far off the advertised ~1e-6 fast mode); it is a
-    # no-op on CPU/GPU and on the emulated-f64 path.
     hi = jax.lax.Precision.HIGHEST
     p1 = jnp.matmul(c, re, precision=hi)
     p2 = jnp.matmul(s, im, precision=hi)
     p3 = jnp.matmul(c + s, re + im, precision=hi)
     return p1 - p2, p3 - p1 - p2
+
+
+def _apply_dft(re, im, sign: float):
+    """Dense DFT along axis 0 (length ≤ _BASE)."""
+    n = re.shape[0]
+    c, s = _phase_tables(n, n, n, sign, re.dtype)
+    return complex_matmul(c, s, re, im)
 
 
 def _twiddles(n1: int, n2: int, sign: float, dtype):
