@@ -72,6 +72,38 @@ def raw_autocorr(x: jax.Array) -> jax.Array:
     return raw_autocorr_matmul(x_pad, N)
 
 
+@jax.jit
+def _raw_autocorr_native_sumlast(x: jax.Array) -> jax.Array:
+    """(N, P, d) → (N, P): per-particle autocorrelation summed over
+    components, with the sum taken on the power spectra (|F|² adds) so
+    the inverse transform carries 1 column per particle instead of d."""
+    N = x.shape[0]
+    M = 2 * next_pow_2(N)
+    f = jnp.fft.rfft(x, n=M, axis=0)
+    power = (f * jnp.conj(f)).real.sum(axis=-1)
+    return jnp.fft.irfft(power, n=M, axis=0)[:N].astype(x.dtype)
+
+
+def raw_autocorr_sumlast(x: jax.Array) -> jax.Array:
+    """Backend-dispatched component-summed autocorrelation,
+    (N, P, d) → (N, P).
+
+    CPU sums the power spectra before the inverse transform (irfft
+    width shrinks d×). The TPU matmul-FFT path does NOT: the
+    frequency-domain sum was measured ~40% *slower* end-to-end there
+    (82 ms vs 58 ms at N=8192, P=512 f64) — the per-particle lane-
+    group reduction over emulated-f64 spectra and the lost
+    fwd/power/inv fusion inside each column block cost more than the
+    d× smaller inverse saves (BENCH_NOTES.md, round 2). The TPU path
+    keeps the fused per-block pipeline and sums afterwards.
+    """
+    N, P, d = x.shape
+    if _has_native_fft():
+        return _raw_autocorr_native_sumlast(x)
+    raw = raw_autocorr(x.reshape(N, P * d)).reshape(N, P, d)
+    return jnp.sum(raw, axis=-1)
+
+
 def acf_fft(x) -> jax.Array:
     """Batched FFT autocorrelation.
 
@@ -87,8 +119,7 @@ def acf_fft(x) -> jax.Array:
     if x.ndim == 2:
         x = x[:, :, None]
     N, P, d = x.shape
-    raw = raw_autocorr(x.reshape(N, P * d)).reshape(N, P, d)
-    raw = jnp.sum(raw, axis=-1)
+    raw = raw_autocorr_sumlast(x)
     norm = (N - jnp.arange(N, dtype=x.dtype))[:, None]
     return raw / norm
 

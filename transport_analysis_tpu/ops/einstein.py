@@ -32,7 +32,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .acf import raw_autocorr
+from .acf import raw_autocorr_sumlast
 
 
 @partial(jax.jit, static_argnames=("reduce_mode", "n_lags"))
@@ -114,9 +114,9 @@ def _einstein_fft_impl(a: jax.Array, reduce_mode: str) -> jax.Array:
     # benign in f32 and tightens f64 by orders of magnitude.
     a = a - jnp.mean(a, axis=0, keepdims=True)
 
-    # C(lag, p) = sum_i sum_d a[i]·a[i+lag]   (raw, unnormalized)
-    corr = raw_autocorr(a.reshape(N, P * d)).reshape(N, P, d)
-    corr = jnp.sum(corr, axis=-1)  # (N, P)
+    # C(lag, p) = sum_i sum_d a[i]·a[i+lag]   (raw, unnormalized;
+    # component sum taken in the frequency domain — d× less inverse)
+    corr = raw_autocorr_sumlast(a)  # (N, P)
 
     # prefix sums of |a_i|² over components
     sq = jnp.sum(a * a, axis=-1)  # (N, P)
