@@ -1,0 +1,205 @@
+"""North-star-shaped demo: 100k atoms × 32k frames, VACF + Helfand,
+streamed through one chip (BASELINE.json north star is 100k × 1M on a
+v5p-8; this is the largest single-(tunneled-)chip slice of that shape).
+
+Two feed modes, because this box's host→device tunnel moves only
+~40 MB/s (measured; a real TPU host feeds at PCIe/DMA rates):
+
+--feed device (default): each atom chunk is synthesized ON DEVICE
+  (jax PRNG + cumsum inside the jitted step, keyed per chunk) so the
+  pipeline measures the sustained correlation rate the chip delivers
+  when the feed keeps up — the number a real host's decode+DMA path
+  (io/_native C++ TRR decode, ~GB/s) would sustain.
+
+--feed host: chunks are generated on the host and shipped with
+  device_put, the shape of the real file-streaming path. On this
+  tunnel it is honestly feed-bound (~25× slower than the chip).
+
+Per chunk (1024 atoms × all frames): f64 VACF (FFT autocorrelation)
++ Helfand lag-difference curve, both particle-summed ON DEVICE →
+two (frames,) readbacks (~0.5 MB) which also fence the chunk, so the
+walls are honest (BENCH_NOTES.md "Measurement integrity").
+Accumulators live on host; device memory stays bounded by the chunk
+size whatever the total atom count. Effective atom-frame-lags/s uses
+the reference's windowed work units: 2 analyses × N(N+1)/2 lags × P.
+
+Usage:
+  python benchmarks/northstar.py                      # 100352 × 32768
+  python benchmarks/northstar.py --feed host --atoms 16384 --frames 8192
+"""
+
+import argparse
+import json
+import os
+import queue
+import sys
+import threading
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.expanduser("~/.cache/transport_analysis_tpu_xla"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+import transport_analysis_tpu  # noqa: E402,F401
+from transport_analysis_tpu import ops  # noqa: E402
+from transport_analysis_tpu.ops.acf import acf_fft_numpy  # noqa: E402
+from transport_analysis_tpu.utils.units import constants  # noqa: E402
+
+KB = constants["Boltzmann_constant"]
+TEMP = 300.0
+VOL = 8000.0
+
+
+def _analyze(vel, pos, masses):
+    vacf_sum = ops.acf_fft(vel).sum(axis=1)  # (N,)
+    accum = masses[None, :, None] * vel * pos
+    helf_sum = ops.einstein_difference_fft(accum, "mean").sum(axis=1)
+    return vacf_sum, helf_sum
+
+
+def _host_chunk(n_frames, chunk, seed):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    vel = rng.standard_normal(
+        (n_frames, chunk, 3), dtype=np.float32
+    ) * np.float32(5.0)
+    pos = (
+        np.cumsum(vel, axis=0, dtype=np.float32) * np.float32(0.002)
+        + rng.uniform(0, 20, (1, chunk, 3)).astype(np.float32)
+    )
+    masses = rng.uniform(1, 16, chunk)
+    return vel, pos, masses
+
+
+def _device_kernel(n_frames, chunk):
+    @jax.jit
+    def step(key):
+        kv, kp, km = jax.random.split(key, 3)
+        vel32 = 5.0 * jax.random.normal(
+            kv, (n_frames, chunk, 3), jnp.float32
+        )
+        pos32 = (
+            jnp.cumsum(vel32, axis=0) * jnp.float32(0.002)
+            + jax.random.uniform(
+                kp, (1, chunk, 3), jnp.float32, 0.0, 20.0
+            )
+        )
+        masses = jax.random.uniform(km, (chunk,), jnp.float64, 1.0, 16.0)
+        return _analyze(
+            vel32.astype(jnp.float64), pos32.astype(jnp.float64), masses
+        )
+
+    return step
+
+
+def _host_kernel():
+    @jax.jit
+    def step(vel32, pos32, masses):
+        return _analyze(
+            vel32.astype(jnp.float64), pos32.astype(jnp.float64), masses
+        )
+
+    return step
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=32768)
+    ap.add_argument("--atoms", type=int, default=100352)
+    ap.add_argument("--chunk", type=int, default=1024)
+    ap.add_argument("--feed", choices=("device", "host"), default="device")
+    ap.add_argument("--check", action="store_true",
+                    help="verify one chunk against the host f64 oracle")
+    args = ap.parse_args()
+
+    n_frames, chunk = args.frames, args.chunk
+    n_chunks = -(-args.atoms // chunk)
+    n_atoms = n_chunks * chunk  # keep chunks uniform
+
+    vacf_acc = np.zeros(n_frames, np.float64)
+    helf_acc = np.zeros(n_frames, np.float64)
+
+    if args.feed == "device":
+        step = _device_kernel(n_frames, chunk)
+        key = jax.random.PRNGKey(0)
+        warm = step(jax.random.fold_in(key, 10**6))
+        np.asarray(warm[0])
+        t0 = time.perf_counter()
+        for c in range(n_chunks):
+            vs, hs = step(jax.random.fold_in(key, c))
+            vacf_acc += np.asarray(vs)  # readback fences the chunk
+            helf_acc += np.asarray(hs)
+        wall = time.perf_counter() - t0
+    else:
+        step = _host_kernel()
+        q = queue.Queue(maxsize=2)
+
+        def produce():
+            for c in range(n_chunks):
+                q.put((c,) + _host_chunk(n_frames, chunk, 1000 + c))
+            q.put(None)
+
+        threading.Thread(target=produce, daemon=True).start()
+        vel, pos, masses = _host_chunk(n_frames, chunk, 999)
+        warm = step(
+            jnp.asarray(vel), jnp.asarray(pos), jnp.asarray(masses)
+        )
+        np.asarray(warm[0])
+        t0 = time.perf_counter()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            _, vel, pos, masses = item
+            vs, hs = step(
+                jax.device_put(vel), jax.device_put(pos),
+                jax.device_put(masses),
+            )
+            vacf_acc += np.asarray(vs)
+            helf_acc += np.asarray(hs)
+        wall = time.perf_counter() - t0
+
+    vacf_ts = vacf_acc / n_atoms
+    helf_ts = helf_acc / n_atoms / (2.0 * KB * VOL * TEMP)
+    times = np.arange(n_frames) * 0.002
+    gk_d = np.trapezoid(vacf_ts, times) / 3.0
+    w = slice(n_frames // 8, n_frames // 2)
+    slope = np.polyfit(np.arange(n_frames)[w], helf_ts[w], 1)[0]
+
+    lags = 2 * (n_frames * (n_frames + 1) // 2) * n_atoms
+    result = {
+        "metric": (
+            f"north-star slice VACF+Helfand (N={n_frames}, P={n_atoms}, "
+            f"chunk={chunk}, f64, feed={args.feed})"
+        ),
+        "value": lags / wall,
+        "unit": "atom-frame-lags/s",
+        "wall_s": round(wall, 1),
+        "gk_diffusivity": float(gk_d),
+        "helfand_slope": float(slope),
+    }
+
+    if args.check:
+        vel, pos, masses = _host_chunk(n_frames, chunk, 1000)
+        sub = slice(0, 64)
+        ref = acf_fft_numpy(vel[:, sub].astype(np.float64)).sum(axis=1)
+        got = np.asarray(
+            ops.acf_fft(jnp.asarray(vel[:, sub].astype(np.float64)))
+        ).sum(axis=1)
+        result["hostchunk_vacf_rel_err"] = float(
+            np.max(np.abs(got - ref)) / np.abs(ref).max()
+        )
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

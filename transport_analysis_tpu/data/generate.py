@@ -114,13 +114,19 @@ def generate_trajectory(top_path: str, trr_path: str) -> None:
     theta = np.exp(-DT / tau)
     noise_scale = np.sqrt(1.0 - theta * theta)
 
-    # initial positions from the topology PDB
+    # initial positions + unit cell from the topology PDB (CRYST1 —
+    # honors triclinic cells like the reference EC topology's
+    # 41.432³ α=β=60 γ=90)
     from ..io.pdb import PDBReader
 
-    pos = PDBReader(top_path)[0].positions.astype(np.float64)
+    first = PDBReader(top_path)[0]
+    pos = first.positions.astype(np.float64)
     vel = rng.normal(0, 1, (n_atoms, 3)) * sigma_v
 
-    dims = [BOX, BOX, BOX, 90.0, 90.0, 90.0]
+    if first.dimensions is not None:
+        dims = list(np.asarray(first.dimensions, np.float64))
+    else:
+        dims = [BOX, BOX, BOX, 90.0, 90.0, 90.0]
     with TRRWriter(trr_path, n_atoms) as w:
         for frame in range(N_FRAMES):
             w.write(

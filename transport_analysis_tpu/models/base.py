@@ -46,14 +46,60 @@ class Results(dict):
             ) from err
 
 
+class DeviceSeriesBuffer:
+    """Assembles a (n_frames, …) series on the DEVICE from host frame
+    blocks: the host holds one decoded block at a time while the full
+    selection accumulates in HBM (donated ``dynamic_update_slice``, so
+    each write reuses the buffer's memory instead of copying it).
+
+    This is the frame-blocked feed for the batch engine — without it,
+    ``read_frames_batch`` materializes the entire (N, P, d) selection
+    in host RAM before the first device op, which contradicts the
+    streaming design at north-star sizes (SURVEY.md §7 L2).
+    """
+
+    def __init__(self, shape, dtype):
+        import jax.numpy as jnp
+
+        self._buf = jnp.zeros(shape, dtype)
+
+    @staticmethod
+    def _writer():
+        import jax
+
+        if DeviceSeriesBuffer._write_fn is None:
+            def write(buf, block, offset):
+                idx = (offset,) + (0,) * (buf.ndim - 1)
+                return jax.lax.dynamic_update_slice(buf, block, idx)
+
+            DeviceSeriesBuffer._write_fn = jax.jit(
+                write, donate_argnums=0
+            )
+        return DeviceSeriesBuffer._write_fn
+
+    _write_fn = None
+
+    def write(self, block, offset: int):
+        import jax.numpy as jnp
+
+        block = jnp.asarray(block, dtype=self._buf.dtype)
+        self._buf = self._writer()(self._buf, block, offset)
+
+    def array(self):
+        return self._buf
+
+
 class AnalysisBase:
     def __init__(self, trajectory, verbose: bool = False, engine=None,
-                 **kwargs):
+                 frame_block: Optional[int] = None, **kwargs):
         self._trajectory = trajectory
         self._verbose = verbose
         if engine not in (None, "batch", "frame"):
             raise ValueError("engine must be 'batch' or 'frame'")
         self._engine = engine
+        if frame_block is not None and frame_block < 1:
+            raise ValueError("frame_block must be a positive int")
+        self._frame_block = frame_block
         self.results = Results()
 
     # --- frame bookkeeping ----------------------------------------------------
@@ -116,7 +162,27 @@ class AnalysisBase:
         use_batch = (
             hasattr(self, "_process_batch") and self._engine != "frame"
         )
-        if use_batch:
+        use_stream = (
+            use_batch
+            and self._frame_block is not None
+            and hasattr(self, "_process_block")
+        )
+        if use_stream:
+            self._validate_trajectory()
+            with self.timing.stage("io"):
+                from ..io.prefetch import prefetch_batches
+
+                times = []
+                offset = 0
+                for block in prefetch_batches(
+                    self._trajectory, self.frames,
+                    block_size=self._frame_block,
+                ):
+                    times.append(np.asarray(block["times"]))
+                    self._process_block(block, offset)
+                    offset += len(block["times"])
+                self.times = np.concatenate(times).astype(np.float64)
+        elif use_batch:
             self._validate_trajectory()
             with self.timing.stage("io"):
                 batch = self._trajectory.read_frames_batch(self.frames)

@@ -77,6 +77,25 @@ class EinsteinMSD(AnalysisBase):
             dtype=self._work_dtype,
         )[:, :, self._dim]
 
+    def _process_block(self, batch, offset):
+        """Frame-blocked feed: position blocks stream host→HBM
+        (models/base.py DeviceSeriesBuffer)."""
+        if "positions" not in batch:
+            raise NoDataError("MSD computation requires positions")
+        from .base import DeviceSeriesBuffer
+
+        if offset == 0:
+            self._pos_buf = DeviceSeriesBuffer(
+                (self.n_frames, len(self.ag), len(self._dim)),
+                self._work_dtype,
+            )
+        self._pos_buf.write(
+            np.asarray(batch["positions"][:, self.ag.indices],
+                       dtype=self._work_dtype)[:, :, self._dim],
+            offset,
+        )
+        self._positions = self._pos_buf.array()
+
     def _single_frame(self):
         if not self._ts.has_positions:
             raise NoDataError("MSD computation requires positions")

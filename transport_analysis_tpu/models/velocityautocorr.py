@@ -92,6 +92,28 @@ class VelocityAutocorr(AnalysisBase):
             :, :, self._dim
         ]
 
+    def _process_block(self, batch, offset):
+        """Frame-blocked feed (``frame_block=`` ctor kwarg): blocks
+        stream host→HBM so the full (N, P, d) selection only ever
+        exists on device (models/base.py DeviceSeriesBuffer)."""
+        if "velocities" not in batch:
+            raise NoDataError(
+                "VACF computation requires velocities in the trajectory"
+            )
+        from .base import DeviceSeriesBuffer
+
+        if offset == 0:
+            self._vel_buf = DeviceSeriesBuffer(
+                (self.n_frames, len(self.atomgroup), len(self._dim)),
+                self._work_dtype,
+            )
+        block = np.asarray(
+            batch["velocities"][:, self.atomgroup.indices],
+            dtype=self._work_dtype,
+        )[:, :, self._dim]
+        self._vel_buf.write(block, offset)
+        self._velocities = self._vel_buf.array()
+
     def _single_frame(self):
         if not self._ts.has_velocities:
             raise NoDataError(

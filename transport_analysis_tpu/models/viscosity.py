@@ -123,6 +123,40 @@ class ViscosityHelfand(AnalysisBase):
             batch["positions"][:, idx], dtype=self._work_dtype
         )[:, :, self._dim]
 
+    def _process_block(self, batch, offset):
+        """Frame-blocked feed: the m·v·x accumulator inputs stream
+        host→HBM block-by-block (models/base.py DeviceSeriesBuffer);
+        per-frame volumes stay on host (they are (N,) scalars)."""
+        if "velocities" not in batch or "positions" not in batch:
+            raise NoDataError(self._NO_DATA_MSG)
+        volumes = np.asarray(batch["volumes"], dtype=np.float64)
+        if np.any(volumes == 0.0):
+            raise NoDataError(self._NO_DATA_MSG)
+        from .base import DeviceSeriesBuffer
+
+        if offset == 0:
+            shape = (
+                self.n_frames, len(self.atomgroup), len(self._dim)
+            )
+            self._vel_buf = DeviceSeriesBuffer(shape, self._work_dtype)
+            self._pos_buf = DeviceSeriesBuffer(shape, self._work_dtype)
+            self._volumes = np.zeros(self.n_frames, np.float64)
+        idx = self.atomgroup.indices
+        nb = len(volumes)
+        self._volumes[offset:offset + nb] = volumes
+        self._vel_buf.write(
+            np.asarray(batch["velocities"][:, idx],
+                       dtype=self._work_dtype)[:, :, self._dim],
+            offset,
+        )
+        self._pos_buf.write(
+            np.asarray(batch["positions"][:, idx],
+                       dtype=self._work_dtype)[:, :, self._dim],
+            offset,
+        )
+        self._velocities = self._vel_buf.array()
+        self._positions = self._pos_buf.array()
+
     def _single_frame(self):
         if not (
             self._ts.has_velocities

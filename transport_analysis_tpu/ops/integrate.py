@@ -77,9 +77,19 @@ def simpson(y, x) -> jax.Array:
 @jax.jit
 def polyfit_linear(x, y):
     """Degree-1 least-squares fit → (slope, intercept)
-    (np.polyfit(x, y, 1) parity; reference viscosity.py:240-245)."""
-    x = jnp.asarray(x, dtype=jnp.result_type(x, jnp.float32))
-    y = jnp.asarray(y, dtype=x.dtype)
+    (np.polyfit(x, y, 1) parity; reference viscosity.py:240-245).
+
+    Dtype: follows the *floating* dtype of the inputs; pure-integer
+    inputs promote to float64. (The old ``result_type(x, float32)``
+    was a bug: jax promotes int64 + float32 → float32, so integer
+    lagtimes silently ran the whole fit in f32 — a ~1e-5 relative
+    error on the fitted viscosity.)
+    """
+    dtype = jnp.result_type(jnp.asarray(x).dtype, jnp.asarray(y).dtype)
+    if not jnp.issubdtype(dtype, jnp.floating):
+        dtype = jnp.float64
+    x = jnp.asarray(x, dtype=dtype)
+    y = jnp.asarray(y, dtype=dtype)
     xm = jnp.mean(x)
     ym = jnp.mean(y)
     dx = x - xm
