@@ -148,3 +148,75 @@ class TestH5MD:
         u = ta.Universe(Topology(pos.shape[1]),
                         ta.io.open_trajectory(path))
         assert u.trajectory.format == "H5MD"
+
+
+class TestWriterObjectCoercion:
+    """Writers accept Universe / AtomGroup / Timestep as the first
+    argument (MDAnalysis writer parity), not just arrays."""
+
+    @pytest.fixture()
+    def u(self):
+        rng = np.random.RandomState(3)
+        u = ta.Universe.empty(12, n_frames=4, velocities=True)
+        from transport_analysis_tpu.core.transformations import (
+            set_dimensions,
+        )
+
+        u.trajectory.add_transformations(
+            set_dimensions([30, 30, 30, 90, 90, 90])
+        )
+        for i, ts in enumerate(u.trajectory):
+            u.atoms.positions = rng.uniform(0, 25, (12, 3))
+            u.atoms.velocities = rng.normal(0, 2, (12, 3))
+        return u
+
+    def test_trr_write_timestep_and_universe(self, u, tmp_path):
+        from transport_analysis_tpu.io.trr import TRRReader, TRRWriter
+
+        p1, p2 = tmp_path / "ts.trr", tmp_path / "uni.trr"
+        with TRRWriter(p1, 12) as w:
+            for ts in u.trajectory:
+                w.write(ts)
+        with TRRWriter(p2, 12) as w:
+            for ts in u.trajectory:
+                w.write(u)  # Universe → current frame of its atoms
+        for p in (p1, p2):
+            r = TRRReader(p)
+            assert r.n_frames == 4
+            assert_allclose(r[2].positions, u.trajectory[2].positions,
+                            atol=1e-5)
+            assert_allclose(r[2].velocities,
+                            u.trajectory[2].velocities, atol=1e-5)
+            assert_allclose(r[2].dimensions[:3], [30, 30, 30],
+                            atol=1e-3)
+
+    def test_xtc_write_atomgroup(self, u, tmp_path):
+        from transport_analysis_tpu.io.xtc import XTCReader, XTCWriter
+
+        p = tmp_path / "ag.xtc"
+        with XTCWriter(p, 12) as w:
+            for ts in u.trajectory:
+                w.write(u.atoms)
+        r = XTCReader(p)
+        assert r.n_frames == 4
+        assert_allclose(r[1].positions, u.trajectory[1].positions,
+                        atol=0.011)
+
+    def test_dcd_netcdf_h5md_write_timestep(self, u, tmp_path):
+        from transport_analysis_tpu.io.dcd import DCDReader, DCDWriter
+        from transport_analysis_tpu.io.netcdf import NCDFReader, NCDFWriter
+
+        p = tmp_path / "t.dcd"
+        with DCDWriter(p, 12) as w:
+            for ts in u.trajectory:
+                w.write(ts)
+        assert_allclose(DCDReader(p)[3].positions,
+                        u.trajectory[3].positions, atol=1e-5)
+
+        p = tmp_path / "t.ncdf"
+        with NCDFWriter(p, 12, velocities=True) as w:
+            for ts in u.trajectory:
+                w.write(ts)
+        r = NCDFReader(p)
+        assert_allclose(r[3].positions, u.trajectory[3].positions,
+                        atol=1e-4)

@@ -134,6 +134,12 @@ class DCDWriter:
         )
 
     def write(self, positions, dimensions=None):
+        if not isinstance(positions, (np.ndarray, list, tuple)):
+            from ._frame import extract_frame
+
+            pos, _vel, _frc, dims, _t = extract_frame(positions)
+            positions = pos
+            dimensions = dims if dimensions is None else dimensions
         positions = np.asarray(positions, np.float32)
         if self._with_cell:
             if dimensions is None:

@@ -170,6 +170,14 @@ class H5MDWriter:
 
     def write(self, positions, velocities=None, dimensions=None,
               time: float = 0.0):
+        if not isinstance(positions, (np.ndarray, list, tuple)):
+            from ._frame import extract_frame
+
+            pos, vel, _frc, dims, t = extract_frame(positions)
+            positions = pos
+            velocities = vel if velocities is None else velocities
+            dimensions = dims if dimensions is None else dimensions
+            time = t if t is not None else time
         i = self._i
         for ds in (self._pos_v, self._pos_t, self._pos_s, self._edges):
             ds.resize(i + 1, axis=0)

@@ -151,6 +151,14 @@ class NCDFWriter:
 
     def write(self, positions, velocities=None, dimensions=None,
               time: float = 0.0):
+        if not isinstance(positions, (np.ndarray, list, tuple)):
+            from ._frame import extract_frame
+
+            pos, vel, _frc, dims, t = extract_frame(positions)
+            positions = pos
+            velocities = vel if velocities is None else velocities
+            dimensions = dims if dimensions is None else dimensions
+            time = t if t is not None else time
         i = self._i
         self._coords[i] = np.asarray(positions, np.float32)
         self._time[i] = time

@@ -248,6 +248,19 @@ class TRRWriter:
         step: Optional[int] = None,
         lam: float = 0.0,
     ):
+        # MDAnalysis writer parity: first arg may be a Universe /
+        # AtomGroup / Timestep instead of a positions array
+        if positions is not None and not isinstance(
+            positions, (np.ndarray, list, tuple)
+        ):
+            from ._frame import extract_frame
+
+            pos, vel, frc, dims, t = extract_frame(positions)
+            positions = pos
+            velocities = vel if velocities is None else velocities
+            forces = frc if forces is None else forces
+            dimensions = dims if dimensions is None else dimensions
+            time = t if t is not None else time
         n3 = self.n_atoms * 3
         box_size = 9 * 4 if dimensions is not None else 0
         x_size = n3 * 4 if positions is not None else 0

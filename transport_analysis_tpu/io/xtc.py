@@ -140,6 +140,13 @@ class XTCWriter:
 
     def write(self, positions, dimensions=None, time: float = 0.0,
               step=None):
+        if not isinstance(positions, (np.ndarray, list, tuple)):
+            from ._frame import extract_frame
+
+            pos, _vel, _frc, dims, t = extract_frame(positions)
+            positions = pos
+            dimensions = dims if dimensions is None else dimensions
+            time = t if t is not None else time
         from . import _native
 
         step = self._step if step is None else step
