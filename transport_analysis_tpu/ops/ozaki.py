@@ -44,24 +44,49 @@ def enabled() -> bool:
     return not os.environ.get("TRANSPORT_ANALYSIS_TPU_NO_OZAKI")
 
 
+def _two_sum_f32(a, b):
+    """Error-free float32 addition (Knuth): a + b = s + e exactly."""
+    s = a + b
+    bv = s - a
+    e = (a - (s - bv)) + (b - bv)
+    return s, e
+
+
 def _slice_operand(x64, n_slices: int):
     """Split a float64 array with |x| ≤ 1 into δ-bit absolutely-aligned
     bands, each exactly representable in bfloat16.
 
-    The banding MUST start from the full-precision value: slicing a
-    float32 cast only ever recovers 24 bits, and float32's relative
-    rounding breaks the absolute grid alignment the exactness argument
-    needs. float64 elementwise is cheap on TPU (profiler: it is only
-    the f64 GEMMs that crawl), so the ~3 ops/slice here cost little.
+    Exact float32-pair formulation. A plain float32 cast only carries
+    24 bits, so the value is first split losslessly into hi + lo f32s
+    (Dekker: hi = f32(x), lo = f32(x − hi) — the subtraction in f64 is
+    exact). Each band is then the nearest grid multiple of the f32
+    residual head (products by powers of two and f32 round are exact;
+    subtracting the nearest grid multiple is exact by the Sterbenz
+    argument), with the tail folded back via an f32 TwoSum. Every step
+    is error-free, so the bands sum to x exactly down to the last grid
+    (borderline roundings may shift one grid ulp between adjacent
+    bands relative to the f64 formulation — the decomposition is
+    equally exact, not bit-identical) — but the per-element work is
+    ~10 fast f32 ops instead of ~4 emulated f64 ops (f64 elementwise
+    on TPU runs as software pair arithmetic; this slicing is the
+    dominant non-GEMM cost of the FFT pipeline, BENCH_NOTES.md
+    round 2).
+
+    Band magnitude ≤ (2^(δ−1) + 1) grid units — within bfloat16's
+    8-bit significand and unchanged from the f64 formulation, so the
+    2^24 exact-accumulation bound (and _K_LIMIT) is unaffected.
     """
+    hi = x64.astype(jnp.float32)
+    lo = (x64 - hi.astype(jnp.float64)).astype(jnp.float32)
     bands = []
-    prev = jnp.zeros_like(x64)
+    r_hi, r_lo = hi, lo
     for q in range(n_slices):
-        scale = 2.0 ** (_DELTA * (q + 1) - 1)
-        y = jnp.round(x64 * scale) / scale  # x to (q+1)·δ-1 frac bits
-        band = y - prev  # multiple of 2^-((q+1)δ-1), ≤ δ sig bits
+        scale = jnp.float32(2.0 ** (_DELTA * (q + 1) - 1))
+        inv_scale = jnp.float32(2.0 ** -(_DELTA * (q + 1) - 1))
+        band = jnp.round(r_hi * scale) * inv_scale
         bands.append(band.astype(jnp.bfloat16))
-        prev = y
+        head = r_hi - band  # exact: nearest-grid-multiple subtraction
+        r_hi, r_lo = _two_sum_f32(head, r_lo)
     return bands
 
 
