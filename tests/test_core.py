@@ -220,3 +220,26 @@ class TestPropSelection:
             u.select_atoms("prop bogus > 1")
         with pytest.raises(SelectionError, match="unknown operator"):
             u.select_atoms("prop mass ~ 1")
+
+
+def test_load_new_from_file_and_reader(tmp_path):
+    """MDAnalysis parity: Universe.load_new accepts a trajectory path
+    or an open reader, not only in-memory arrays."""
+    import transport_analysis_tpu as ta
+    from transport_analysis_tpu.io.trr import TRRReader, TRRWriter
+
+    rng = np.random.RandomState(1)
+    pos = rng.uniform(0, 9, (5, 4, 3)).astype(np.float32)
+    path = tmp_path / "ln.trr"
+    with TRRWriter(path, 4) as w:
+        for i in range(5):
+            w.write(positions=pos[i], time=float(i))
+
+    u = ta.Universe.empty(4)
+    u.load_new(str(path))
+    assert u.trajectory.n_frames == 5
+    assert_allclose(u.trajectory[3].positions, pos[3], atol=1e-5)
+
+    u2 = ta.Universe.empty(4)
+    u2.load_new(TRRReader(path))
+    assert u2.trajectory.n_frames == 5

@@ -157,18 +157,45 @@ class TestGoldenXTC:
             assert_allclose(r[i].positions, golden["positions12"][i],
                             atol=0.011)
 
-    def test_compressed_bytes_frozen(self, golden, tmp_path):
+    def test_legacy_literal_stream_still_decodes(self, golden):
+        """golden12.xtc was frozen from the round-1 literal-only
+        encoder (every seed followed by flag=0, run never set). The
+        run-length encoder landed later; this fixture pins decoder
+        backward compatibility with literal streams."""
+        r = XTCReader(GOLD_XTC12)
+        for i in range(3):
+            assert_allclose(r[i].positions, golden["positions12"][i],
+                            atol=0.011)
+
+    def test_rle_bytes_frozen(self, golden, tmp_path):
+        """golden_rle.xtc freezes the run-length encoder's bitstream
+        on clustered (water-like) coordinates that exercise delta
+        runs, the adaptive ladder, and the seed swap."""
         from transport_analysis_tpu.io.xtc import XTCWriter
 
-        out = tmp_path / "re12.xtc"
-        with XTCWriter(out, n_atoms=12) as w:
+        out = tmp_path / "re_rle.xtc"
+        with XTCWriter(out, n_atoms=60) as w:
             for i in range(3):
-                w.write(positions=golden["positions12"][i],
+                w.write(positions=golden["positions_rle"][i],
                         dimensions=golden["dimensions"],
                         time=0.5 * i, step=i)
-        with open(GOLD_XTC12, "rb") as fh:
+        gold = os.path.join(HERE, "golden", "golden_rle.xtc")
+        with open(gold, "rb") as fh:
             want = fh.read()
         assert out.read_bytes() == want
+        # the fixture decodes back to the source at quantization grid
+        r = XTCReader(gold)
+        for i in range(3):
+            assert_allclose(r[i].positions, golden["positions_rle"][i],
+                            atol=0.011)
+
+    def test_rle_actually_compresses(self, golden, tmp_path):
+        """Clustered coordinates must compress materially better than
+        the literal encoding (12 bytes/atom quantized ≈ upper bound)."""
+        gold = os.path.join(HERE, "golden", "golden_rle.xtc")
+        per_frame = (os.path.getsize(gold) / 3) - 56  # header ≈ 56 B
+        bits_literal = 60 * 3 * 17  # ~17 bits/component at this range
+        assert per_frame < bits_literal / 8 * 0.72
 
     def test_bytes_frozen(self, golden, tmp_path):
         from transport_analysis_tpu.io.xtc import XTCWriter

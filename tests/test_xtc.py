@@ -98,3 +98,102 @@ class TestXTC:
                 w.write(pos[i])
         r = XTCReader(path)
         assert_allclose(r[0].positions, pos[0], atol=0.03)
+
+
+class TestRunLengthEncoder:
+    """The xdr3dfcoord run-length scheme: delta runs, adaptive ladder,
+    seed swap, and the flag=0 'run length unchanged' persistence the
+    round-1 decoder got wrong (it reset run to 0 — only a symmetric
+    literal-only encoder hid it)."""
+
+    def _roundtrip(self, pos, prec=1000.0):
+        import tempfile
+
+        from transport_analysis_tpu.io.xtc import XTCReader, XTCWriter
+
+        path = tempfile.mktemp(suffix=".xtc")
+        with XTCWriter(path, n_atoms=pos.shape[1],
+                       precision=prec) as w:
+            for i in range(pos.shape[0]):
+                w.write(positions=pos[i],
+                        dimensions=[20, 20, 20, 90, 90, 90])
+        r = XTCReader(path)
+        # .positions views the reader's reusable Timestep buffer
+        # (MDAnalysis parity) — copy per frame before advancing
+        got = np.stack(
+            [r[i].positions.copy() for i in range(pos.shape[0])]
+        )
+        import os
+
+        os.unlink(path)
+        return got
+
+    def test_water_like_runs(self):
+        """Molecule-clustered coordinates produce runs; values must
+        round-trip at the quantization grid."""
+        rng = np.random.RandomState(0)
+        centers = rng.uniform(2, 18, (4, 50, 1, 3))
+        offsets = rng.uniform(-0.4, 0.4, (4, 50, 3, 3))
+        pos = (centers + offsets).reshape(4, 150, 3).astype(np.float32)
+        got = self._roundtrip(pos)
+        assert_allclose(got, pos, atol=0.011)
+
+    def test_repeated_run_lengths_flag0(self):
+        """Uniform molecules ⇒ identical run lengths back-to-back ⇒
+        the encoder emits flag=0 ('unchanged') — the exact code path
+        the old decoder broke on."""
+        rng = np.random.RandomState(1)
+        n_mol = 40
+        centers = np.linspace(1, 19, n_mol)[None, :, None, None]
+        centers = np.broadcast_to(centers, (2, n_mol, 1, 3)).copy()
+        offsets = rng.uniform(-0.05, 0.05, (2, n_mol, 4, 3))
+        pos = (centers + offsets).reshape(2, n_mol * 4, 3).astype(
+            np.float32
+        )
+        got = self._roundtrip(pos)
+        assert_allclose(got, pos, atol=0.011)
+
+    def test_long_runs_capped_at_8_triples(self):
+        """A tight blob of many atoms forces maximal runs (cap 8×3)."""
+        rng = np.random.RandomState(2)
+        pos = (10.0 + rng.uniform(-0.2, 0.2, (2, 200, 3))).astype(
+            np.float32
+        )
+        got = self._roundtrip(pos)
+        assert_allclose(got, pos, atol=0.011)
+
+    def test_scattered_atoms_no_runs(self):
+        """Far-apart atoms: mostly literal seeds, still valid."""
+        rng = np.random.RandomState(3)
+        pos = rng.uniform(0, 100, (3, 64, 3)).astype(np.float32)
+        got = self._roundtrip(pos, prec=100.0)
+        assert_allclose(got, pos, atol=0.11)
+
+    def test_mixed_cluster_and_outliers(self):
+        """Ladder grows and shrinks (is_smaller both signs)."""
+        rng = np.random.RandomState(4)
+        blobs = 5.0 + rng.uniform(-0.1, 0.1, (2, 30, 3))
+        far = rng.uniform(0, 50, (2, 10, 3))
+        inter = np.concatenate(
+            [blobs[:, :15], far[:, :5], blobs[:, 15:], far[:, 5:]],
+            axis=1,
+        ).astype(np.float32)
+        got = self._roundtrip(inter)
+        assert_allclose(got, inter, atol=0.011)
+
+    def test_compression_beats_literal(self):
+        import tempfile, os
+
+        from transport_analysis_tpu.io.xtc import XTCWriter
+
+        rng = np.random.RandomState(5)
+        centers = rng.uniform(2, 18, (1, 100, 1, 3))
+        offsets = rng.uniform(-0.3, 0.3, (1, 100, 5, 3))
+        pos = (centers + offsets).reshape(1, 500, 3).astype(np.float32)
+        path = tempfile.mktemp(suffix=".xtc")
+        with XTCWriter(path, n_atoms=500) as w:
+            w.write(positions=pos[0], dimensions=[20, 20, 20, 90, 90, 90])
+        size = os.path.getsize(path)
+        os.unlink(path)
+        literal_payload = 500 * 3 * 15 / 8  # ~15 bits/component range
+        assert size < literal_payload * 0.75

@@ -10,6 +10,7 @@ test_velocityautocorr.py:54), ``load_new`` (test_velocityautocorr.py:71),
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import numpy as np
@@ -114,7 +115,17 @@ class Universe:
 
     def load_new(self, coordinates, velocities=None, forces=None, dt=1.0):
         """Replace the trajectory with in-memory arrays
-        (``(n_frames, n_atoms, 3)`` or ``(n_atoms, 3)``)."""
+        (``(n_frames, n_atoms, 3)`` or ``(n_atoms, 3)``) or a
+        trajectory file path / open reader (MDAnalysis
+        ``Universe.load_new`` parity)."""
+        if isinstance(coordinates, ProtoReader):
+            self.trajectory = coordinates
+            return self
+        if isinstance(coordinates, (str, os.PathLike)):
+            from ..io import open_trajectory
+
+            self.trajectory = open_trajectory(coordinates)
+            return self
         coordinates = np.asarray(coordinates, dtype=np.float32)
         if coordinates.ndim == 2:
             coordinates = coordinates[None]

@@ -3,14 +3,15 @@
 // Implements the public XTC bitstream: quantized int coordinates packed
 // MSB-first, either as one multiprecision triple of `bitsize` bits or
 // per-component, with optional run-length delta blocks controlled by
-// the magicints small-number ladder. The decoder covers the full
-// format (including runs and the water-pair swap); the encoder emits
-// the always-literal variant (flag=0 per atom), which every conformant
-// decoder accepts.
+// the magicints small-number ladder. Both directions cover the full
+// format: runs of up to 8 delta triples, the adaptive ladder
+// (is_smaller), change-only 5-bit run fields, and the water-pair
+// seed swap.
 //
 // Build: g++ -O3 -shared -fPIC -o libxtccodec.so xtc_codec.cpp
 
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <cmath>
 #include <vector>
@@ -244,9 +245,10 @@ int xtc_decode(int64_t natoms, float precision, const int32_t minint[3],
             is_smaller = run % 3;
             run -= is_smaller;
             is_smaller--;
-        } else {
-            run = 0;
         }
+        // flag == 0 means "run length unchanged": the previous run
+        // value PERSISTS (xdrfile semantics — the encoder only emits
+        // the 5-bit field when the length or the ladder changes).
         if (run > 0) {
             for (int k = 0; k < run; k += 3) {
                 receiveints(r, 3, smallidx, sizesmall, thiscoord);
@@ -299,7 +301,10 @@ int xtc_decode(int64_t natoms, float precision, const int32_t minint[3],
     return 0;
 }
 
-// Encode coordinates (nm floats) into the always-literal XTC variant.
+// Encode coordinates (nm floats) into the XTC compressed block with
+// the full run-length small-number scheme (the xdr3dfcoord encoder:
+// adaptive magicints ladder, delta runs up to 8 triples, the
+// water-pair seed swap, and change-only 5-bit run fields).
 //   coords (natoms*3), precision counts/nm
 //   out buffer of capacity cap; header ints returned via pointers.
 // Returns payload byte count (or -1 if cap too small / error).
@@ -309,6 +314,8 @@ int64_t xtc_encode(const float* coords, int64_t natoms, float precision,
     std::vector<int32_t> q((size_t)natoms * 3);
     minint[0] = minint[1] = minint[2] = INT32_MAX;
     maxint[0] = maxint[1] = maxint[2] = INT32_MIN;
+    int64_t mindiff = INT64_MAX;
+    int32_t oldl[3] = {0, 0, 0};
     for (int64_t i = 0; i < natoms * 3; i++) {
         float v = coords[i] * precision;
         int32_t iv = (int32_t)((v >= 0) ? v + 0.5f : v - 0.5f);
@@ -316,6 +323,16 @@ int64_t xtc_encode(const float* coords, int64_t natoms, float precision,
         int ax = (int)(i % 3);
         if (iv < minint[ax]) minint[ax] = iv;
         if (iv > maxint[ax]) maxint[ax] = iv;
+        if (ax == 2) {
+            int64_t a = (int64_t)i / 3;
+            int64_t diff = llabs((int64_t)q[i - 2] - oldl[0]) +
+                           llabs((int64_t)q[i - 1] - oldl[1]) +
+                           llabs((int64_t)q[i] - oldl[2]);
+            if (a > 0 && diff < mindiff) mindiff = diff;
+            oldl[0] = q[i - 2];
+            oldl[1] = q[i - 1];
+            oldl[2] = q[i];
+        }
     }
     uint32_t sizeint[3];
     int bitsizeint[3] = {0, 0, 0};
@@ -330,15 +347,63 @@ int64_t xtc_encode(const float* coords, int64_t natoms, float precision,
     } else {
         bitsize = sizeofints(3, sizeint);
     }
-    *smallidx_out = FIRSTIDX;
+
+    // adaptive small-number ladder seeded from the minimum neighbor
+    // distance (goes into the frame header for the decoder)
+    int smallidx = FIRSTIDX;
+    while (smallidx < LASTIDX && MAGICINTS[smallidx] < mindiff)
+        smallidx++;
+    *smallidx_out = smallidx;
+    int maxidx = (LASTIDX < smallidx + 8) ? LASTIDX : smallidx + 8;
+    int minidx = maxidx - 8;
+    int64_t larger = MAGICINTS[maxidx] / 2;
+    int tmpidx = (smallidx - 1 > FIRSTIDX) ? smallidx - 1 : FIRSTIDX;
+    int32_t smaller = MAGICINTS[tmpidx] / 2;
+    int32_t smallnum = MAGICINTS[smallidx] / 2;
+    uint32_t sizesmall[3];
+    sizesmall[0] = sizesmall[1] = sizesmall[2] =
+        (uint32_t)MAGICINTS[smallidx];
 
     BitWriter w;
     w.out.reserve((size_t)natoms * 12);
-    for (int64_t a = 0; a < natoms; a++) {
+    int32_t prevcoord[3] = {0, 0, 0};
+    uint32_t tmpcoord[8 * 3];
+    int prevrun = -1;
+    int64_t i = 0;
+    while (i < natoms) {
+        int is_small = 0;
+        int is_smaller;
+        int32_t* thiscoord = q.data() + (size_t)i * 3;
+        if (smallidx < maxidx && i >= 1 &&
+            labs(thiscoord[0] - prevcoord[0]) < larger &&
+            labs(thiscoord[1] - prevcoord[1]) < larger &&
+            labs(thiscoord[2] - prevcoord[2]) < larger) {
+            is_smaller = 1;
+        } else if (smallidx > minidx) {
+            is_smaller = -1;
+        } else {
+            is_smaller = 0;
+        }
+        if (i + 1 < natoms) {
+            int32_t* next = thiscoord + 3;
+            if (labs(thiscoord[0] - next[0]) < smallnum &&
+                labs(thiscoord[1] - next[1]) < smallnum &&
+                labs(thiscoord[2] - next[2]) < smallnum) {
+                // water-pair optimization: swap the seed with its
+                // neighbor so the pair encodes as seed + tiny delta
+                // (the decoder swaps back on the run's first triple)
+                for (int d = 0; d < 3; d++) {
+                    int32_t t = thiscoord[d];
+                    thiscoord[d] = next[d];
+                    next[d] = t;
+                }
+                is_small = 1;
+            }
+        }
         uint32_t nums[3] = {
-            (uint32_t)(q[a * 3 + 0] - minint[0]),
-            (uint32_t)(q[a * 3 + 1] - minint[1]),
-            (uint32_t)(q[a * 3 + 2] - minint[2]),
+            (uint32_t)(thiscoord[0] - minint[0]),
+            (uint32_t)(thiscoord[1] - minint[1]),
+            (uint32_t)(thiscoord[2] - minint[2]),
         };
         if (bitsize == 0) {
             w.put(nums[0], bitsizeint[0]);
@@ -347,7 +412,69 @@ int64_t xtc_encode(const float* coords, int64_t natoms, float precision,
         } else {
             sendints(w, 3, bitsize, sizeint, nums);
         }
-        w.put(0, 1);  // flag = 0: no run follows
+        prevcoord[0] = thiscoord[0];
+        prevcoord[1] = thiscoord[1];
+        prevcoord[2] = thiscoord[2];
+        i++;
+        thiscoord = q.data() + (size_t)i * 3;
+
+        int run = 0;
+        if (is_small == 0 && is_smaller == -1) is_smaller = 0;
+        while (is_small && run < 8 * 3) {
+            if (is_smaller == -1 &&
+                ((int64_t)(thiscoord[0] - prevcoord[0]) *
+                     (thiscoord[0] - prevcoord[0]) +
+                 (int64_t)(thiscoord[1] - prevcoord[1]) *
+                     (thiscoord[1] - prevcoord[1]) +
+                 (int64_t)(thiscoord[2] - prevcoord[2]) *
+                     (thiscoord[2] - prevcoord[2])) >=
+                    (int64_t)smaller * smaller) {
+                is_smaller = 0;  // delta too big for a shrunk ladder
+            }
+            tmpcoord[run++] =
+                (uint32_t)(thiscoord[0] - prevcoord[0] + smallnum);
+            tmpcoord[run++] =
+                (uint32_t)(thiscoord[1] - prevcoord[1] + smallnum);
+            tmpcoord[run++] =
+                (uint32_t)(thiscoord[2] - prevcoord[2] + smallnum);
+            prevcoord[0] = thiscoord[0];
+            prevcoord[1] = thiscoord[1];
+            prevcoord[2] = thiscoord[2];
+            i++;
+            thiscoord = q.data() + (size_t)i * 3;
+            is_small = 0;
+            if (i < natoms &&
+                labs(thiscoord[0] - prevcoord[0]) < smallnum &&
+                labs(thiscoord[1] - prevcoord[1]) < smallnum &&
+                labs(thiscoord[2] - prevcoord[2]) < smallnum) {
+                is_small = 1;
+            }
+        }
+        if (run != prevrun || is_smaller != 0) {
+            prevrun = run;
+            w.put(1, 1);
+            w.put((uint32_t)(run + is_smaller + 1), 5);
+        } else {
+            w.put(0, 1);
+        }
+        for (int k = 0; k < run; k += 3) {
+            sendints(w, 3, smallidx, sizesmall, &tmpcoord[k]);
+        }
+        if (is_smaller != 0) {
+            smallidx += is_smaller;
+            if (is_smaller < 0) {
+                smallnum = smaller;
+                if (smallidx > FIRSTIDX)
+                    smaller = MAGICINTS[smallidx - 1] / 2;
+                else
+                    smaller = 0;
+            } else {
+                smaller = smallnum;
+                smallnum = MAGICINTS[smallidx] / 2;
+            }
+            sizesmall[0] = sizesmall[1] = sizesmall[2] =
+                (uint32_t)MAGICINTS[smallidx];
+        }
     }
     w.flush();
     if ((int64_t)w.out.size() > cap) return -1;
