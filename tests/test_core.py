@@ -243,3 +243,82 @@ def test_load_new_from_file_and_reader(tmp_path):
     u2 = ta.Universe.empty(4)
     u2.load_new(TRRReader(path))
     assert u2.trajectory.n_frames == 5
+
+
+class TestGeometricSelections:
+    """byres / sphzone / sphlayer / cyzone / cylayer / point and
+    PBC-aware around (ROADMAP round-2 capability; MDAnalysis selection
+    semantics: zones measure from the cog of the inner selection,
+    around excludes the inner selection, minimum-image distances when
+    an orthorhombic box is present)."""
+
+    @pytest.fixture()
+    def u(self):
+        import transport_analysis_tpu as ta
+        from transport_analysis_tpu.core.transformations import (
+            set_dimensions,
+        )
+
+        u = ta.Universe.empty(8, n_residues=4)
+        u.add_TopologyAttr("names",
+                           ["A", "B", "A", "B", "A", "B", "A", "B"])
+        u.trajectory.add_transformations(
+            set_dimensions([10, 10, 10, 90, 90, 90])
+        )
+        pos = np.array([
+            [1.0, 1.0, 1.0],   # res 0
+            [1.5, 1.0, 1.0],   # res 0
+            [5.0, 5.0, 5.0],   # res 1
+            [5.0, 5.5, 5.0],   # res 1
+            [9.6, 1.0, 1.0],   # res 2 — wraps near atom 0 across x
+            [9.0, 9.0, 9.0],   # res 2
+            [5.0, 5.0, 7.0],   # res 3 — above res-1 cluster in z
+            [5.0, 5.0, 2.8],   # res 3 — below res-1 cluster in z
+        ], dtype=np.float32)
+        u.atoms.positions = pos
+        return u
+
+    def test_byres_expands_to_whole_residue(self, u):
+        ag = u.select_atoms("byres index 0")
+        assert list(ag.indices) == [0, 1]
+        ag = u.select_atoms("byres (index 2 7)")
+        assert list(ag.indices) == [2, 3, 6, 7]
+
+    def test_sphzone_from_cog(self, u):
+        # cog(index 2 3) = (5, 5.25, 5)
+        ag = u.select_atoms("sphzone 1.0 (index 2 3)")
+        assert list(ag.indices) == [2, 3]
+        ag = u.select_atoms("sphzone 2.5 (index 2 3)")
+        assert list(ag.indices) == [2, 3, 6, 7]
+
+    def test_sphlayer_excludes_core(self, u):
+        ag = u.select_atoms("sphlayer 1.5 2.5 (index 2 3)")
+        assert list(ag.indices) == [6, 7]
+
+    def test_cyzone_and_cylayer(self, u):
+        # cylinder around cog(2,3): radial in xy, z in [-3, +3]
+        ag = u.select_atoms("cyzone 1.0 3.0 -3.0 (index 2 3)")
+        assert list(ag.indices) == [2, 3, 6, 7]
+        # layer with inner radius excludes the on-axis atoms
+        # all cluster atoms sit at xy radius 0.25 from the cog; an
+        # inner radius of 0.5 excludes them all
+        ag = u.select_atoms("cylayer 0.5 1.0 3.0 -3.0 (index 2 3)")
+        assert list(ag.indices) == []
+
+    def test_point_selection(self, u):
+        ag = u.select_atoms("point 1.0 1.0 1.0 0.8")
+        assert list(ag.indices) == [0, 1]
+        # PBC: point near the box edge reaches the wrapped atom
+        ag = u.select_atoms("point 0.1 1.0 1.0 0.6")
+        assert list(ag.indices) == [4]
+
+    def test_around_uses_minimum_image(self, u):
+        # atom 4 at x=9.6 is 1.4 Å from atom 0 across the x boundary
+        ag = u.select_atoms("around 1.5 index 0")
+        assert 4 in ag.indices
+        assert 1 in ag.indices
+        assert 0 not in ag.indices  # inner excluded
+
+    def test_zone_on_empty_inner(self, u):
+        assert len(u.select_atoms("sphzone 5.0 name ZZZ")) == 0
+        assert len(u.select_atoms("cyzone 5 5 -5 name ZZZ")) == 0

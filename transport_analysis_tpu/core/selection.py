@@ -33,6 +33,7 @@ _KEYWORDS = {
     "and", "or", "not", "all", "none", "name", "resname", "resid", "resnum",
     "type", "segid", "element", "index", "bynum", "id", "mass", "charge",
     "around", "protein", "backbone", "prop", "(", ")", "to",
+    "byres", "sphzone", "sphlayer", "cyzone", "cylayer", "point",
 }
 
 _PROP_OPS = {
@@ -138,6 +139,42 @@ class _Parser:
             radius = float(self.next())
             inner = self.parse_not()
             return self._around(radius, inner)
+        if tok == "byres":
+            inner = self.parse_not()
+            resix = self.u._topology.atom_resindex
+            return np.isin(resix, np.unique(resix[inner]))
+        if tok == "sphzone":
+            radius = float(self.next())
+            inner = self.parse_not()
+            d2 = self._dist2_to_cog(inner)
+            return d2 <= radius * radius
+        if tok == "sphlayer":
+            r_inner = float(self.next())
+            r_outer = float(self.next())
+            inner = self.parse_not()
+            d2 = self._dist2_to_cog(inner)
+            return (d2 >= r_inner * r_inner) & (d2 <= r_outer * r_outer)
+        if tok == "cyzone":
+            r_ext = float(self.next())
+            z_max = float(self.next())
+            z_min = float(self.next())
+            inner = self.parse_not()
+            return self._cylinder(0.0, r_ext, z_min, z_max, inner)
+        if tok == "cylayer":
+            r_in = float(self.next())
+            r_ext = float(self.next())
+            z_max = float(self.next())
+            z_min = float(self.next())
+            inner = self.parse_not()
+            return self._cylinder(r_in, r_ext, z_min, z_max, inner)
+        if tok == "point":
+            x = float(self.next())
+            y = float(self.next())
+            z = float(self.next())
+            radius = float(self.next())
+            pos = self.u.trajectory.ts.positions.astype(np.float64)
+            d = self._min_image(pos - np.array([x, y, z]))
+            return np.sum(d * d, axis=-1) <= radius * radius
         if tok == "prop":
             return self._prop()
         raise SelectionError(f"unknown selection keyword {tok!r}")
@@ -233,18 +270,61 @@ class _Parser:
             values = np.abs(values)
         return _PROP_OPS[op_tok](values, rhs)
 
+    def _ortho_box(self):
+        """Orthorhombic box lengths, or None (no box / triclinic —
+        triclinic minimum image is not implemented; those boxes fall
+        back to non-periodic distances, documented in docs/api.md)."""
+        dims = self.u.trajectory.ts.dimensions
+        if dims is None:
+            return None
+        dims = np.asarray(dims, np.float64)
+        if np.all(dims[:3] > 0) and np.allclose(dims[3:], 90.0):
+            return dims[:3]
+        return None
+
+    def _min_image(self, delta: np.ndarray) -> np.ndarray:
+        """Minimum-image convention applied to displacement vectors
+        (MDAnalysis applies PBC to geometric selections when the
+        Timestep carries a box)."""
+        box = self._ortho_box()
+        if box is not None:
+            delta = delta - box * np.round(delta / box)
+        return delta
+
+    def _dist2_to_cog(self, inner: np.ndarray) -> np.ndarray:
+        """Squared min-image distance of every atom to the center of
+        geometry of ``inner`` (sphzone/sphlayer reference point)."""
+        pos = self.u.trajectory.ts.positions.astype(np.float64)
+        if not inner.any():
+            return np.full(len(pos), np.inf)
+        cog = pos[inner].mean(axis=0)
+        d = self._min_image(pos - cog)
+        return np.sum(d * d, axis=-1)
+
+    def _cylinder(self, r_in, r_ext, z_min, z_max, inner) -> np.ndarray:
+        """Cylindrical zone/layer around the cog of ``inner``: radial
+        bounds in xy, axial bounds along z (cyzone/cylayer)."""
+        pos = self.u.trajectory.ts.positions.astype(np.float64)
+        if not inner.any():
+            return np.zeros(len(pos), bool)
+        cog = pos[inner].mean(axis=0)
+        d = self._min_image(pos - cog)
+        r2 = d[:, 0] ** 2 + d[:, 1] ** 2
+        mask = (r2 >= r_in * r_in) & (r2 <= r_ext * r_ext)
+        return mask & (d[:, 2] >= z_min) & (d[:, 2] <= z_max)
+
     def _around(self, radius: float, inner: np.ndarray) -> np.ndarray:
         """Atoms strictly within ``radius`` of any atom in ``inner``,
-        excluding ``inner`` itself (MDAnalysis ``around`` semantics,
-        minimum-image-free brute force)."""
+        excluding ``inner`` itself (MDAnalysis ``around`` semantics;
+        minimum-image distances when an orthorhombic box is present)."""
         pos = self.u.trajectory.ts.positions
         ref = pos[inner]
         if len(ref) == 0:
             return np.zeros(len(inner), bool)
-        d2 = np.sum(
-            (pos[:, None, :].astype(np.float64) - ref[None, :, :]) ** 2,
-            axis=-1,
+        delta = self._min_image(
+            pos[:, None, :].astype(np.float64) - ref[None, :, :]
         )
+        d2 = np.sum(delta * delta, axis=-1)
         mask = (d2 <= radius * radius).any(axis=1)
         return mask & ~inner
 
