@@ -201,3 +201,66 @@ class TestFrameBlockedFeed:
 
         with pytest.raises(ValueError, match="frame_block"):
             VelocityAutocorr(u.atoms, frame_block=0)
+
+
+class TestResultsPersistence:
+    def test_save_and_load_roundtrip(self, tmp_path):
+        from transport_analysis_tpu import ViscosityHelfand
+        from transport_analysis_tpu.models.base import AnalysisBase
+        from transport_analysis_tpu.core.transformations import (
+            set_dimensions,
+        )
+
+        rng = np.random.RandomState(8)
+        u = ta.Universe.empty(5, n_frames=20, velocities=True)
+        u.add_TopologyAttr("masses", np.full(5, 16.0))
+        u.trajectory.add_transformations(
+            set_dimensions([4, 4, 4, 90, 90, 90])
+        )
+        for i, ts in enumerate(u.trajectory):
+            u.atoms.velocities = rng.normal(0, 1, (5, 3))
+            u.atoms.positions = rng.uniform(0, 4, (5, 3))
+        vh = ViscosityHelfand(u.atoms, linear_fit_window=(2, 10)).run()
+        path = tmp_path / "results.npz"
+        vh.save(path)
+        results, meta = AnalysisBase.load_results(path)
+        assert meta["class"] == "ViscosityHelfand"
+        assert_allclose(results.timeseries, vh.results.timeseries)
+        assert results.viscosity == pytest.approx(
+            vh.results.viscosity
+        )
+        assert_allclose(meta["times"], vh.times)
+
+    def test_save_before_run_raises(self):
+        from transport_analysis_tpu import VelocityAutocorr
+
+        u = ta.Universe.empty(3, n_frames=4, velocities=True)
+        v = VelocityAutocorr(u.atoms)
+        with pytest.raises(RuntimeError, match="run"):
+            v.save("/tmp/never.npz")
+
+
+def test_uniform_writer_dispatch(tmp_path):
+    """io.Writer(path, n_atoms) picks the format from the extension
+    and returns a context-manager writer accepting Timesteps."""
+    from transport_analysis_tpu import io as ta_io
+
+    rng = np.random.RandomState(2)
+    u = ta.Universe.empty(6, n_frames=3, velocities=True)
+    for i, ts in enumerate(u.trajectory):
+        u.atoms.positions = rng.uniform(0, 30, (6, 3))
+        u.atoms.velocities = rng.normal(0, 1, (6, 3))
+
+    for name in ("w.trr", "w.dcd", "w.ncdf", "w.h5md"):
+        p = tmp_path / name
+        kwargs = {"velocities": True} if name.endswith("ncdf") else {}
+        with ta_io.Writer(p, 6, **kwargs) as w:
+            for ts in u.trajectory:
+                w.write(ts)
+        r = ta_io.open_trajectory(p)
+        assert r.n_frames == 3
+        assert_allclose(r[1].positions, u.trajectory[1].positions,
+                        atol=1e-3)
+
+    with pytest.raises(ValueError, match="unsupported"):
+        ta_io.Writer(tmp_path / "w.xyz", 6)

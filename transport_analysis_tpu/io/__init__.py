@@ -56,3 +56,36 @@ def open_trajectory(path, n_atoms=None):
 
         return PDBReader(path)
     raise ValueError(f"unsupported trajectory format: .{ext}")
+
+
+def Writer(path, n_atoms: int, **kwargs):
+    """Uniform writer dispatch by extension (MDAnalysis
+    ``mda.Writer``-style): returns a context-manager writer whose
+    ``write()`` accepts a Universe / AtomGroup / Timestep or plain
+    arrays (io/_frame.extract_frame).
+
+    kwargs pass through to the format writer (e.g. ``precision=`` for
+    XTC, ``velocities=True`` for NetCDF/H5MD).
+    """
+    ext = _ext(path)
+    if ext == "trr":
+        from .trr import TRRWriter
+
+        return TRRWriter(path, n_atoms, **kwargs)
+    if ext == "xtc":
+        from .xtc import XTCWriter
+
+        return XTCWriter(path, n_atoms, **kwargs)
+    if ext == "dcd":
+        from .dcd import DCDWriter
+
+        return DCDWriter(path, n_atoms, **kwargs)
+    if ext in ("nc", "ncdf", "netcdf"):
+        from .netcdf import NCDFWriter
+
+        return NCDFWriter(path, n_atoms, **kwargs)
+    if ext in ("h5md", "h5", "hdf5"):
+        from .h5md import H5MDWriter
+
+        return H5MDWriter(path, n_atoms, **kwargs)
+    raise ValueError(f"unsupported trajectory format: .{ext}")

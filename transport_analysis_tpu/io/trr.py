@@ -55,9 +55,13 @@ def _box_matrix_to_dimensions(m: np.ndarray) -> np.ndarray:
 def _dimensions_to_box_matrix(dims) -> np.ndarray:
     """[lx, ly, lz, alpha, beta, gamma] (Å) → GROMACS triclinic matrix."""
     lx, ly, lz, alpha, beta, gamma = (float(v) for v in dims)
+    m = np.zeros((3, 3))
+    if lx == 0.0 and ly == 0.0 and lz == 0.0:
+        return m  # "no box" Timestep (all-zero dims): write a zero cell
     ca, cb, cg = (np.cos(np.radians(x)) for x in (alpha, beta, gamma))
     sg = np.sin(np.radians(gamma))
-    m = np.zeros((3, 3))
+    if sg == 0.0:
+        raise ValueError(f"degenerate box angles in dimensions {dims}")
     m[0, 0] = lx
     m[1, 0] = ly * cg
     m[1, 1] = ly * sg

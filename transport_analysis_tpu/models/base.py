@@ -143,6 +143,48 @@ class AnalysisBase:
     def _conclude(self):
         pass
 
+    # --- results persistence ---------------------------------------------------
+    def save(self, path) -> None:
+        """Persist ``results`` plus run metadata (times, frames,
+        analysis class) to a single ``.npz``. The reference leaves
+        persistence to the user (SURVEY.md §5 'checkpoint/resume:
+        none'); long streamed runs deserve a one-liner."""
+        if not self.results:
+            raise RuntimeError(
+                "nothing to save — call run() before save()"
+            )
+        payload = {}
+        for key, value in self.results.items():
+            if value is None:
+                continue
+            payload[f"results/{key}"] = np.asarray(value)
+        payload["meta/class"] = np.asarray(type(self).__name__)
+        payload["meta/times"] = np.asarray(self.times)
+        payload["meta/frames"] = np.asarray(self.frames)
+        np.savez(path, **payload)
+
+    @staticmethod
+    def load_results(path):
+        """Load an ``.npz`` written by :meth:`save` →
+        ``(Results, meta_dict)``; scalar results come back as Python
+        floats."""
+        results = Results()
+        meta = {}
+        with np.load(path, allow_pickle=False) as z:
+            for key in z.files:
+                kind, _, name = key.partition("/")
+                value = z[key]
+                if kind == "results":
+                    results[name] = (
+                        float(value) if value.ndim == 0 else value
+                    )
+                else:
+                    meta[name] = (
+                        str(value) if value.dtype.kind in "US"
+                        else value
+                    )
+        return results, meta
+
     # --- driver --------------------------------------------------------------------
     def run(
         self,
