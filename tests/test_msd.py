@@ -97,3 +97,14 @@ def test_gk_vs_einstein_diffusivity(
     )
     sd_expected = linear_model.slope / (2 * tdim_factor)
     assert_approx_equal(sd_actual, sd_expected, significant=2)
+
+
+def test_msd_atom_chunk_parity(u_random):
+    from transport_analysis_tpu import EinsteinMSD
+
+    a = EinsteinMSD(u_random, select="all").run()
+    b = EinsteinMSD(u_random, select="all", atom_chunk=3).run()
+    assert_allclose(b.results.timeseries, a.results.timeseries,
+                    rtol=1e-12)
+    assert_allclose(b.results.msds_by_particle,
+                    a.results.msds_by_particle, rtol=1e-12)

@@ -177,3 +177,18 @@ class TestAllDims:
             step_vtraj_full, tstop, tdim_factor, start=tstart, step=tstep
         )
         assert_allclose(vis_h.results.timeseries, poly, rtol=2e-7)
+
+
+def test_helfand_atom_chunk_parity(u_random):
+    """atom_chunk streaming must reproduce the one-shot result."""
+    a = VH(u_random.atoms, linear_fit_window=(2, 10)).run()
+    b = VH(
+        u_random.atoms, linear_fit_window=(2, 10), atom_chunk=3
+    ).run()
+    assert_allclose(b.results.timeseries, a.results.timeseries,
+                    rtol=1e-12)
+    assert b.results.viscosity == pytest.approx(
+        a.results.viscosity, rel=1e-12
+    )
+    assert_allclose(b.results.visc_by_particle,
+                    a.results.visc_by_particle, rtol=1e-12)

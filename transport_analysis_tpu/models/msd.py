@@ -39,7 +39,8 @@ class EinsteinMSD(AnalysisBase):
     """
 
     def __init__(self, u, select: str = "all", msd_type: str = "xyz",
-                 fft: bool = True, max_lag=None, dtype=np.float64,
+                 fft: bool = True, max_lag=None, atom_chunk=None,
+                 checkpoint=None, dtype=np.float64,
                  **kwargs):
         if isinstance(u, AtomGroup):
             ag = u if select in ("all", None) else u.select_atoms(select)
@@ -52,6 +53,8 @@ class EinsteinMSD(AnalysisBase):
         self._dim, self.dim_fac = parse_dim_type(self.msd_type)
         self.fft = fft
         self.max_lag = max_lag
+        self.atom_chunk = atom_chunk
+        self.checkpoint = checkpoint
         self._work_dtype = np.dtype(dtype)
         self.n_particles = len(ag)
         self._run_called = False
@@ -102,21 +105,33 @@ class EinsteinMSD(AnalysisBase):
         self._positions[self._frame_index] = self.ag.positions[:, self._dim]
 
     def _conclude(self):
-        pos = shard_frames_axis(self._positions)
         self.n_lags = (
             self.n_frames
             if self.max_lag is None
             else min(self.max_lag, self.n_frames)
         )
-        if self.fft:
-            by_particle = ops.einstein_difference_fft(
-                pos, reduce_mode="sum"
-            )[: self.n_lags]
-        else:
-            by_particle = ops.einstein_difference_windowed(
-                pos, reduce_mode="sum", max_lag=self.n_lags
+
+        def kernel(p):
+            if self.fft:
+                return ops.einstein_difference_fft(
+                    p, reduce_mode="sum"
+                )[: self.n_lags]
+            return ops.einstein_difference_windowed(
+                p, reduce_mode="sum", max_lag=self.n_lags
             )
-        by_particle = by_particle[:, : self.n_particles]
+
+        if self.atom_chunk:
+            from ..parallel.streaming import chunked_per_particle
+
+            _, by_particle = chunked_per_particle(
+                kernel,
+                np.asarray(self._positions),
+                self.atom_chunk,
+                checkpoint=self.checkpoint,
+            )
+        else:
+            pos = shard_frames_axis(self._positions)
+            by_particle = kernel(pos)[:, : self.n_particles]
         self.results.msds_by_particle = np.asarray(by_particle)
         self.results.timeseries = np.asarray(by_particle.mean(axis=1))
         self._run_called = True

@@ -56,6 +56,8 @@ class ViscosityHelfand(AnalysisBase):
         linear_fit_window=None,
         fft: bool = True,
         max_lag=None,
+        atom_chunk=None,
+        checkpoint=None,
         dtype=np.float64,
         **kwargs,
     ):
@@ -70,6 +72,8 @@ class ViscosityHelfand(AnalysisBase):
         self._dim, self.dim_fac = parse_dim_type(self.dim_type)
         self.fft = fft
         self.max_lag = max_lag
+        self.atom_chunk = atom_chunk
+        self.checkpoint = checkpoint
         self._work_dtype = np.dtype(dtype)
         self.atomgroup = atomgroup
         self.n_particles = len(atomgroup)
@@ -176,25 +180,40 @@ class ViscosityHelfand(AnalysisBase):
         self._vol_avg = float(np.average(self._volumes))
         # Helfand accumulator A = m·v·x, shipped to device as one block
         accum = self._masses_rs * self._velocities * self._positions
-        accum = shard_frames_axis(accum)
         self.n_lags = (
             self.n_frames
             if self.max_lag is None
             else min(self.max_lag, self.n_frames)
         )
-        if self.fft:
-            by_particle = ops.einstein_difference_fft(
-                accum, reduce_mode="mean"
-            )[: self.n_lags]
-        else:
-            by_particle = ops.einstein_difference_windowed(
-                accum, reduce_mode="mean", max_lag=self.n_lags
+
+        def kernel(a):
+            if self.fft:
+                return ops.einstein_difference_fft(
+                    a, reduce_mode="mean"
+                )[: self.n_lags]
+            return ops.einstein_difference_windowed(
+                a, reduce_mode="mean", max_lag=self.n_lags
             )
-        by_particle = by_particle[:, : self.n_particles]
+
         denom = 2.0 * self.boltzmann * self._vol_avg * self.temp_avg
-        by_particle = np.asarray(by_particle) / denom
-        self.results.visc_by_particle = by_particle
-        self.results.timeseries = by_particle.mean(axis=1)
+        if self.atom_chunk:
+            from ..parallel.streaming import chunked_per_particle
+
+            timeseries, by_particle = chunked_per_particle(
+                kernel,
+                np.asarray(accum),
+                self.atom_chunk,
+                checkpoint=self.checkpoint,
+            )
+            by_particle = by_particle / denom
+            self.results.visc_by_particle = by_particle
+            self.results.timeseries = timeseries / denom
+        else:
+            by_particle = kernel(shard_frames_axis(accum))
+            by_particle = by_particle[:, : self.n_particles]
+            by_particle = np.asarray(by_particle) / denom
+            self.results.visc_by_particle = by_particle
+            self.results.timeseries = by_particle.mean(axis=1)
 
         if self.linear_fit_window is not None:
             fit_start, fit_end = (
