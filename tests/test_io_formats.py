@@ -220,3 +220,85 @@ class TestWriterObjectCoercion:
         r = NCDFReader(p)
         assert_allclose(r[3].positions, u.trajectory[3].positions,
                         atol=1e-4)
+
+
+class TestH5MDSpecFeatures:
+    """H5MD units, time-dependent triclinic boxes, and distinct
+    velocity sampling (ROADMAP round-2 capability)."""
+
+    def test_units_written_and_honored(self, tmp_path):
+        h5py = pytest.importorskip("h5py")
+        from transport_analysis_tpu.io.h5md import H5MDReader, H5MDWriter
+
+        rng = np.random.RandomState(0)
+        pos = rng.uniform(0, 30, (2, 5, 3)).astype(np.float32)
+        p = tmp_path / "u.h5md"
+        with H5MDWriter(p, 5, velocities=True) as w:
+            for i in range(2):
+                w.write(pos[i], velocities=pos[i] * 0.1,
+                        dimensions=[30, 30, 30, 90, 90, 90],
+                        time=0.5 * i)
+        with h5py.File(p) as f:
+            g = f["particles/trajectory"]
+            assert g["position/value"].attrs["unit"] == "Angstrom"
+            assert g["velocity/value"].attrs["unit"] == "Angstrom ps-1"
+            assert g["position/time"].attrs["unit"] == "ps"
+        r = H5MDReader(p)
+        assert_allclose(r[1].positions, pos[1], atol=1e-5)
+
+    def test_nm_units_converted_on_read(self, tmp_path):
+        h5py = pytest.importorskip("h5py")
+        from transport_analysis_tpu.io.h5md import H5MDReader
+
+        p = tmp_path / "nm.h5md"
+        rng = np.random.RandomState(1)
+        pos_nm = rng.uniform(0, 3, (2, 4, 3)).astype(np.float32)
+        with h5py.File(p, "w") as f:
+            g = f.create_group("particles/stuff")
+            v = g.create_dataset("position/value", data=pos_nm)
+            v.attrs["unit"] = "nm"
+            t = g.create_dataset("position/time",
+                                 data=np.array([0.0, 500.0]))
+            t.attrs["unit"] = "fs"
+        r = H5MDReader(p)
+        assert_allclose(r[0].positions, pos_nm[0] * 10.0, rtol=1e-6)
+        assert r[1].time == pytest.approx(0.5)  # 500 fs = 0.5 ps
+
+    def test_triclinic_time_dependent_box(self, tmp_path):
+        pytest.importorskip("h5py")
+        from transport_analysis_tpu.io.h5md import H5MDReader, H5MDWriter
+
+        rng = np.random.RandomState(2)
+        pos = rng.uniform(0, 20, (3, 4, 3)).astype(np.float32)
+        p = tmp_path / "tri.h5md"
+        dims = [
+            [20, 20, 20, 60, 60, 90],
+            [21, 21, 21, 60, 60, 90],
+            [22, 22, 22, 61, 59, 90],
+        ]
+        with H5MDWriter(p, 4, triclinic=True) as w:
+            for i in range(3):
+                w.write(pos[i], dimensions=dims[i], time=float(i))
+        r = H5MDReader(p)
+        for i in range(3):
+            assert_allclose(r[i].dimensions, dims[i], atol=1e-6)
+
+    def test_distinct_velocity_sampling(self, tmp_path):
+        pytest.importorskip("h5py")
+        from transport_analysis_tpu.io.h5md import H5MDReader, H5MDWriter
+
+        rng = np.random.RandomState(3)
+        pos = rng.uniform(0, 10, (6, 4, 3)).astype(np.float32)
+        vel = rng.normal(0, 1, (6, 4, 3)).astype(np.float32)
+        p = tmp_path / "sparse.h5md"
+        with H5MDWriter(p, 4, velocities=True, velocity_every=2) as w:
+            for i in range(6):
+                w.write(pos[i], velocities=vel[i], time=float(i))
+        r = H5MDReader(p)
+        # velocities sampled every 2nd step: not exposable per frame
+        assert r.n_frames == 6
+        assert not r.ts.has_velocities
+        steps, times, values = r.velocity_samples()
+        assert list(steps) == [0, 2, 4]
+        assert_allclose(values, vel[::2], atol=1e-6)
+        assert_allclose(times, [0.0, 2.0, 4.0])
