@@ -156,6 +156,37 @@ class TestVelocityAutocorr:
             == "Running Integral of the VACF (Å^2 / ps)"
         )
 
+    def test_plot_running_integral_custom_labels(self, vacf):
+        (line,) = vacf.plot_running_integral(
+            xlabel="Custom x-label", ylabel="Custom Running Integral"
+        )
+        assert line.axes.get_xlabel() == "Custom x-label"
+        assert line.axes.get_ylabel() == "Custom Running Integral"
+
+    def test_plot_running_integral_start_stop_step(
+        self, vacf, start=1, stop=9, step=2
+    ):
+        """Reference parity (test_velocityautocorr.py:265-287): the
+        running integral under start/stop/step integrates the STRIDED
+        series cumulatively from `start`."""
+        t_range = range(start, stop, step)
+        y_exp = np.zeros(len(t_range))
+        for i, j in enumerate(t_range):
+            if i > 0:
+                y_exp[i] = (
+                    integrate.trapezoid(
+                        vacf.results.timeseries[start: j + 1: step],
+                        vacf.times[start: j + 1: step],
+                    )
+                    / vacf.dim_fac
+                )
+        (line,) = vacf.plot_running_integral(
+            start=start, stop=stop, step=step
+        )
+        x_act, y_act = line.get_xydata().T
+        assert_allclose(x_act, vacf.times[start:stop:step])
+        assert_allclose(y_act, y_exp, atol=1e-12)
+
     def test_plot_running_integral_exception(self, step_vtraj):
         v = VACF(step_vtraj.atoms, fft=False)
         with pytest.raises(RuntimeError, match="Analysis must be run"):
