@@ -164,6 +164,10 @@ def _reverse_index(z):
 # max complex columns processed per sequential block: bounds live FFT
 # intermediates to ~B·M·dtype·(a few buffers) regardless of batch width
 _SERIES_BLOCK = 256
+# statically unroll the block loop up to this many blocks (see
+# raw_autocorr_matmul: per-iteration loop dispatch costs ~8 ms on this
+# backend); beyond it, fall back to lax.map to bound program size
+_UNROLL_BLOCKS = 16
 
 
 def _autocorr_packed(re, im, n_out: int):
@@ -216,6 +220,22 @@ def raw_autocorr_matmul(x, n_out: int):
 
     if n_blocks == 1:
         gr, gi = _autocorr_packed(re, im, n_out)
+    elif n_blocks <= _UNROLL_BLOCKS:
+        # STATIC UNROLL: each lax.map/while iteration costs ~8 ms of
+        # dispatch on this backend (measured: 3 mapped blocks 42.9 ms
+        # vs unrolled 17.7 ms at M=16384, f64) — loop overhead, not
+        # compute, dominated. XLA's buffer reuse keeps the sequential
+        # HBM bound; the cap below only guards program size.
+        B = _SERIES_BLOCK
+        parts = [
+            _autocorr_packed(
+                re[:, b * B:(b + 1) * B], im[:, b * B:(b + 1) * B],
+                n_out,
+            )
+            for b in range(n_blocks)
+        ]
+        gr = jnp.concatenate([p[0] for p in parts], axis=1)
+        gi = jnp.concatenate([p[1] for p in parts], axis=1)
     else:
         re_blocks = jnp.moveaxis(
             re.reshape(m, n_blocks, _SERIES_BLOCK), 1, 0
