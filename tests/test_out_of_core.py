@@ -154,3 +154,23 @@ def test_helfand_checkpoint_resume(trr_universe, tmp_path):
         checkpoint=ckpt,
     )
     assert_allclose(ts2, ts1, rtol=1e-12)
+
+
+def test_vacf_out_of_core_sharded_matches_serial(trr_universe, tmp_path):
+    """Spooled atoms × frame-sharded FFT == plain out-of-core VACF:
+    the north-star composition on the 8-virtual-device mesh."""
+    import jax
+    from jax.sharding import Mesh
+
+    from transport_analysis_tpu.parallel.out_of_core import (
+        vacf_out_of_core_sharded,
+    )
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("frames",))
+    got = vacf_out_of_core_sharded(
+        trr_universe, str(tmp_path / "sp_sh"), mesh, atom_chunk=4
+    )
+    ref = vacf_out_of_core(
+        trr_universe, str(tmp_path / "sp_plain"), atom_chunk=4
+    )
+    assert_allclose(got, ref, rtol=1e-10, atol=1e-12)

@@ -282,3 +282,42 @@ def msd_out_of_core(
     return correlate_spools(
         kernel, paths, len(ag), checkpoint=checkpoint
     )
+
+
+def vacf_out_of_core_sharded(
+    universe_or_ag,
+    spool_dir: str,
+    mesh,
+    axis_name: str = "frames",
+    atom_chunk: int = 4096,
+    dim: Sequence[int] = (0, 1, 2),
+    start=None,
+    stop=None,
+    step=None,
+    checkpoint: Optional[str] = None,
+) -> np.ndarray:
+    """Out-of-core VACF with the FFT frame axis sharded over a mesh —
+    the composition that reaches the 100k×1M north star: atoms stream
+    through disk spools (host memory bound), frames shard over chips
+    (device memory bound), and each chunk's correlation runs the
+    four-step distributed FFT (parallel/sharded_fft.py).
+
+    Per-lag normalization matches ``vacf_out_of_core`` exactly; the
+    two agree at f64 rounding (tested on the virtual 8-device mesh).
+    """
+    from .sharded_fft import sharded_acf_fft
+
+    ag, reader, frames = _resolve(universe_or_ag, start, stop, step)
+    paths = build_spools(
+        reader, frames, ag.indices, list(dim), spool_dir, atom_chunk,
+        field="velocities",
+    )
+
+    def kernel(block):
+        return sharded_acf_fft(
+            np.asarray(block, dtype=np.float64), mesh, axis_name
+        )
+
+    return correlate_spools(
+        kernel, paths, len(ag), checkpoint=checkpoint
+    )
