@@ -1,0 +1,38 @@
+#!/usr/bin/env bash
+# On-hardware pre-commit gate (CONTRIBUTING.md "On-TPU pre-commit
+# check"): run before landing any change to transport_analysis_tpu/ops
+# or the parallel kernels. Requires ONE free TPU chip (never run two
+# TPU processes at once — the remote compiler serializes them).
+#
+#   scripts/tpu_gate.sh              # equivalence suite + bench gate
+#   TPU_GATE_MIN_LAGS=2e11 scripts/tpu_gate.sh   # custom floor
+#
+# Exit code 0 = safe to commit.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+MIN_LAGS="${TPU_GATE_MIN_LAGS:-1.0e11}"   # throughput regression floor
+MAX_RELERR="${TPU_GATE_MAX_RELERR:-1e-11}"  # f64 contract
+
+echo "== on-TPU equivalence suite =="
+TRANSPORT_ANALYSIS_TPU_TEST_TPU=1 python -m pytest \
+    tests/test_tpu_equivalence.py -q
+
+echo "== bench gate (floor ${MIN_LAGS} lags/s, rel err <= ${MAX_RELERR}) =="
+OUT=$(python bench.py | tail -1)
+echo "$OUT"
+python - "$OUT" "$MIN_LAGS" "$MAX_RELERR" << 'EOF'
+import json
+import re
+import sys
+
+out, min_lags, max_relerr = sys.argv[1], float(sys.argv[2]), float(sys.argv[3])
+rec = json.loads(out)
+value = float(rec["value"])
+m = re.search(r"max_rel_err_vs_f64_host=([0-9.eE+-]+)", rec["metric"])
+relerr = float(m.group(1)) if m else float("inf")
+assert value == value and value > 0, "non-finite bench value"
+assert value >= min_lags, f"throughput regression: {value:.3g} < {min_lags:.3g}"
+assert relerr <= max_relerr, f"accuracy regression: {relerr:.3g} > {max_relerr:.3g}"
+print(f"GATE OK: {value:.3g} lags/s, rel err {relerr:.3g}")
+EOF
