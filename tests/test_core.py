@@ -322,3 +322,37 @@ class TestGeometricSelections:
     def test_zone_on_empty_inner(self, u):
         assert len(u.select_atoms("sphzone 5.0 name ZZZ")) == 0
         assert len(u.select_atoms("cyzone 5 5 -5 name ZZZ")) == 0
+
+
+class TestAtomGroupDerived:
+    """center_of_mass / center_of_geometry / totals / Rgyr (MDAnalysis
+    convenience surface)."""
+
+    @pytest.fixture()
+    def ag(self):
+        import transport_analysis_tpu as ta
+
+        u = ta.Universe.empty(4)
+        u.add_TopologyAttr("masses", [1.0, 1.0, 2.0, 4.0])
+        u.add_TopologyAttr("charges", [0.5, -0.5, 1.0, 0.0])
+        u.atoms.positions = np.array(
+            [[0, 0, 0], [2, 0, 0], [0, 2, 0], [0, 0, 2]], np.float32
+        )
+        return u.atoms
+
+    def test_totals(self, ag):
+        assert ag.total_mass() == 8.0
+        assert ag.total_charge() == pytest.approx(1.0)
+
+    def test_centers(self, ag):
+        assert_allclose(ag.center_of_geometry(), [0.5, 0.5, 0.5])
+        assert_allclose(ag.centroid(), [0.5, 0.5, 0.5])
+        # com = (1*[0,0,0] + 1*[2,0,0] + 2*[0,2,0] + 4*[0,0,2]) / 8
+        assert_allclose(ag.center_of_mass(), [0.25, 0.5, 1.0])
+
+    def test_radius_of_gyration(self, ag):
+        m = np.array([1.0, 1.0, 2.0, 4.0])
+        pos = np.array([[0, 0, 0], [2, 0, 0], [0, 2, 0], [0, 0, 2.0]])
+        com = (pos * m[:, None]).sum(0) / m.sum()
+        rg = np.sqrt((m * ((pos - com) ** 2).sum(1)).sum() / m.sum())
+        assert ag.radius_of_gyration() == pytest.approx(rg)

@@ -94,3 +94,25 @@ def test_sharded_msd_matches_einstein_fft():
 def test_bad_factorization_raises():
     with pytest.raises(ValueError, match="cannot factor"):
         sharded_raw_autocorr(np.zeros((20, 2)), _mesh(8))
+
+
+def test_sharded_acf_float32_psum_scatter_branch():
+    """float32 takes the native psum_scatter reduce (f64 rides the
+    ppermute ring because the TPU X64 rewriter can't lower an f64
+    reduce-scatter) — cover the f32 branch explicitly."""
+    rng = np.random.RandomState(5)
+    x = rng.normal(size=(256, 6, 3)).astype(np.float32)
+    mesh = _mesh(8)
+    m = 2 * next_pow_2(256)
+    xp = np.zeros((m, 18), np.float32)
+    xp[:256] = x.reshape(256, 18)
+    got = np.asarray(sharded_raw_autocorr(xp, mesh))[:256]
+    assert got.dtype == np.float32
+    ref = np.stack(
+        [np.correlate(x.reshape(256, 18)[:, i],
+                      x.reshape(256, 18)[:, i], "full")[255:]
+         for i in range(18)],
+        axis=1,
+    )
+    scale = np.abs(ref).max()
+    assert_allclose(got, ref, atol=2e-4 * scale)

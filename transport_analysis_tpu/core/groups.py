@@ -106,6 +106,29 @@ class AtomGroup:
     def segids(self) -> np.ndarray:
         return self._topattr("segids")
 
+    # --- derived quantities (MDAnalysis convenience surface) ------------------
+    def total_mass(self) -> float:
+        return float(np.sum(self.masses))
+
+    def total_charge(self) -> float:
+        return float(np.sum(self.charges))
+
+    def center_of_geometry(self) -> np.ndarray:
+        return self.positions.astype(np.float64).mean(axis=0)
+
+    centroid = center_of_geometry
+
+    def center_of_mass(self) -> np.ndarray:
+        m = self.masses.astype(np.float64)
+        return (
+            self.positions.astype(np.float64) * m[:, None]
+        ).sum(axis=0) / m.sum()
+
+    def radius_of_gyration(self) -> float:
+        m = self.masses.astype(np.float64)
+        d = self.positions.astype(np.float64) - self.center_of_mass()
+        return float(np.sqrt(np.sum(m * np.sum(d * d, axis=1)) / m.sum()))
+
     # --- selections ----------------------------------------------------------
     def select_atoms(self, selection: str, updating: bool = False):
         from .selection import select
