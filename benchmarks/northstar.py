@@ -170,7 +170,8 @@ def main():
     vacf_ts = vacf_acc / n_atoms
     helf_ts = helf_acc / n_atoms / (2.0 * KB * VOL * TEMP)
     times = np.arange(n_frames) * 0.002
-    gk_d = np.trapezoid(vacf_ts, times) / 3.0
+    trapezoid = getattr(np, "trapezoid", None) or np.trapz  # numpy<2
+    gk_d = trapezoid(vacf_ts, times) / 3.0
     w = slice(n_frames // 8, n_frames // 2)
     slope = np.polyfit(np.arange(n_frames)[w], helf_ts[w], 1)[0]
 

@@ -197,3 +197,29 @@ class TestRunLengthEncoder:
         os.unlink(path)
         literal_payload = 500 * 3 * 15 / 8  # ~15 bits/component range
         assert size < literal_payload * 0.75
+
+
+def test_corrupt_run_field_rejected(tmp_path):
+    """Review finding: a corrupt/truncated XTC whose persisted run
+    would overrun the atom count must fail cleanly (return code),
+    never write past the output buffer."""
+    import struct
+
+    from transport_analysis_tpu.io.xtc import XTCReader, XTCWriter
+
+    rng = np.random.RandomState(7)
+    # clustered data → real runs in the stream
+    pos = (5.0 + rng.uniform(-0.2, 0.2, (1, 30, 3))).astype(np.float32)
+    path = tmp_path / "c.xtc"
+    with XTCWriter(path, 30) as w:
+        w.write(positions=pos[0], dimensions=[20, 20, 20, 90, 90, 90])
+    raw = bytearray(path.read_bytes())
+    # lie about the atom count in both header fields: the stream's
+    # runs now overrun the (smaller) output array unless bounded
+    struct.pack_into(">i", raw, 4, 12)   # natoms (still > 9:
+    struct.pack_into(">i", raw, 52, 12)  # compressed path, short buffer)
+    bad = tmp_path / "bad.xtc"
+    bad.write_bytes(bytes(raw))
+    # the reader decodes frame 0 during construction
+    with pytest.raises(IOError, match="corrupt"):
+        XTCReader(bad)

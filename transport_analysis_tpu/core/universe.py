@@ -117,7 +117,20 @@ class Universe:
         """Replace the trajectory with in-memory arrays
         (``(n_frames, n_atoms, 3)`` or ``(n_atoms, 3)``) or a
         trajectory file path / open reader (MDAnalysis
-        ``Universe.load_new`` parity)."""
+        ``Universe.load_new`` parity).
+
+        ``velocities``/``forces``/``dt`` only apply to in-memory
+        arrays; passing them with a path or reader raises rather than
+        being silently dropped (files carry their own frame data and
+        times).
+        """
+        if isinstance(coordinates, (ProtoReader, str, os.PathLike)):
+            if velocities is not None or forces is not None or dt != 1.0:
+                raise ValueError(
+                    "velocities/forces/dt apply only to in-memory "
+                    "arrays; trajectory files and readers carry their "
+                    "own per-frame data and times"
+                )
         if isinstance(coordinates, ProtoReader):
             self.trajectory = coordinates
             return self

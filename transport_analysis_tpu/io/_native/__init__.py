@@ -28,6 +28,20 @@ _xtc_lib = None
 _xtc_failed = False
 
 
+def _build_dirs():
+    """Candidate artifact directories: next to the source first, then
+    a per-user cache (read-only site-packages installs can't write to
+    the package dir)."""
+    cache = os.path.join(
+        os.path.expanduser(
+            os.environ.get("XDG_CACHE_HOME", "~/.cache")
+        ),
+        "transport_analysis_tpu",
+        "native",
+    )
+    return [_HERE, cache]
+
+
 def _compile(src: str, base: str) -> str:
     """Build (or reuse) a shared object for ``src``; returns its path.
 
@@ -35,20 +49,35 @@ def _compile(src: str, base: str) -> str:
     detection never depends on mtimes (git checkouts give source and
     binary equal mtimes, which made an mtime check silently keep a
     stale binary). A changed source simply compiles to a new name.
+    Builds land next to the source when writable, else in the user
+    cache dir.
     """
     with open(src, "rb") as fh:
         digest = hashlib.sha1(fh.read()).hexdigest()[:12]
-    so = os.path.join(_HERE, f"{base}-{digest}.so")
-    if os.path.exists(so):
-        return so
-    tmp = so + f".tmp{os.getpid()}"
-    subprocess.run(
-        ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, src, "-lpthread"],
-        check=True,
-        capture_output=True,
-    )
-    os.replace(tmp, so)  # atomic: concurrent builders race benignly
-    return so
+    name = f"{base}-{digest}.so"
+    candidates = _build_dirs()
+    for d in candidates:
+        so = os.path.join(d, name)
+        if os.path.exists(so):
+            return so
+    last_err = None
+    for d in candidates:
+        so = os.path.join(d, name)
+        tmp = so + f".tmp{os.getpid()}"
+        try:
+            os.makedirs(d, exist_ok=True)
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, src,
+                 "-lpthread"],
+                check=True,
+                capture_output=True,
+            )
+            os.replace(tmp, so)  # atomic: concurrent builders race benignly
+            return so
+        except (OSError, subprocess.CalledProcessError) as e:
+            last_err = e
+            continue
+    raise last_err
 
 
 def load_xtc_codec():

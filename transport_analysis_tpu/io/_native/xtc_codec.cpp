@@ -249,6 +249,9 @@ int xtc_decode(int64_t natoms, float precision, const int32_t minint[3],
         // flag == 0 means "run length unchanged": the previous run
         // value PERSISTS (xdrfile semantics — the encoder only emits
         // the 5-bit field when the length or the ladder changes).
+        // Bound-check against the output buffer: a corrupt/truncated
+        // file must never write past natoms*3 floats (untrusted input).
+        if (run < 0 || i + run / 3 > natoms) return 3;
         if (run > 0) {
             for (int k = 0; k < run; k += 3) {
                 receiveints(r, 3, smallidx, sizesmall, thiscoord);

@@ -233,7 +233,15 @@ def helfand_out_of_core(
         reader, frames, indices, dim, spool_dir, atom_chunk,
         field="mvx", transform=transform, aux=("volumes", "times"),
     )
-    vol_avg = float(np.mean(load_aux(spool_dir, "mvx")["volumes"]))
+    volumes = load_aux(spool_dir, "mvx")["volumes"]
+    if np.any(volumes == 0.0):
+        from ..utils.errors import NoDataError
+
+        raise NoDataError(
+            "viscosity computation requires a nonzero box volume in "
+            "every frame (matches ViscosityHelfand's in-memory check)"
+        )
+    vol_avg = float(np.mean(volumes))
 
     def kernel(block):
         out = ops.einstein_difference_fft(

@@ -34,7 +34,7 @@ the distributed transform holds ~1e-13-grade accuracy on TPU.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -211,14 +211,35 @@ def sharded_fft(re, im, mesh: Mesh, axis_name: str = "frames",
     n_dev = mesh.shape[axis_name]
     m = re.shape[0]
     n1 = _pick_n1(m, n_dev)
+    fn = _jitted_fft(mesh, axis_name, n1, n_dev, bool(inverse))
+    return fn(jnp.asarray(re), jnp.asarray(im))
+
+
+@lru_cache(maxsize=64)
+def _jitted_fft(mesh: Mesh, axis_name: str, n1: int, n_dev: int,
+                inverse: bool):
+    """Cached jitted transform per (mesh, axis, n1, direction) — a
+    fresh shard_map closure per call would retrace and recompile the
+    identical program every time (tens of seconds each on this
+    environment's remote compiler; vacf_out_of_core_sharded calls once
+    per atom chunk)."""
     body = _inverse_local if inverse else _forward_local
-    fn = shard_map(
+    return jax.jit(shard_map(
         partial(body, n1=n1, n_dev=n_dev, axis=axis_name),
         mesh=mesh,
         in_specs=(P(axis_name, None), P(axis_name, None)),
         out_specs=(P(axis_name, None), P(axis_name, None)),
-    )
-    return jax.jit(fn)(jnp.asarray(re), jnp.asarray(im))
+    ))
+
+
+@lru_cache(maxsize=64)
+def _jitted_autocorr(mesh: Mesh, axis_name: str, n1: int, n_dev: int):
+    return jax.jit(shard_map(
+        partial(_autocorr_local, n1=n1, n_dev=n_dev, axis=axis_name),
+        mesh=mesh,
+        in_specs=P(axis_name, None),
+        out_specs=P(axis_name, None),
+    ))
 
 
 def _autocorr_local(x_l, n1: int, n_dev: int, axis: str):
@@ -237,13 +258,8 @@ def sharded_raw_autocorr(x, mesh: Mesh, axis_name: str = "frames"):
     n_dev = mesh.shape[axis_name]
     m = x.shape[0]
     n1 = _pick_n1(m, n_dev)
-    fn = shard_map(
-        partial(_autocorr_local, n1=n1, n_dev=n_dev, axis=axis_name),
-        mesh=mesh,
-        in_specs=P(axis_name, None),
-        out_specs=P(axis_name, None),
-    )
-    return jax.jit(fn)(jnp.asarray(x))
+    fn = _jitted_autocorr(mesh, axis_name, n1, n_dev)
+    return fn(jnp.asarray(x))
 
 
 def sharded_acf_fft(x, mesh: Mesh, axis_name: str = "frames"):
