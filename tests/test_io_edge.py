@@ -119,3 +119,62 @@ class TestNCDFNoVelocities:
         u = ta.Universe(Topology(5), r)
         with pytest.raises(NoDataError):
             VelocityAutocorr(u.atoms).run()
+
+
+class TestTruncatedFiles:
+    """Truncated trajectories (crashed writer, partial copy): the
+    trailing partial frame must be DROPPED (GROMACS tool behavior),
+    never indexed as readable data; pure garbage must raise."""
+
+    def _trr(self, tmp_path, n_frames=3, n_atoms=8):
+        from transport_analysis_tpu.io.trr import TRRWriter
+
+        rng = np.random.RandomState(0)
+        p = tmp_path / "t.trr"
+        with TRRWriter(p, n_atoms) as w:
+            for i in range(n_frames):
+                w.write(positions=rng.uniform(0, 9, (n_atoms, 3)),
+                        velocities=rng.normal(0, 1, (n_atoms, 3)),
+                        time=float(i))
+        return p
+
+    @pytest.mark.parametrize("frac", [0.45, 0.75, 0.95])
+    def test_trr_truncated_drops_partial_frame(self, tmp_path, frac):
+        from transport_analysis_tpu.io.trr import TRRReader
+
+        p = self._trr(tmp_path)
+        full = p.read_bytes()
+        t = tmp_path / "trunc.trr"
+        t.write_bytes(full[: int(len(full) * frac)])
+        with pytest.warns(UserWarning, match="truncated"):
+            r = TRRReader(t)
+        assert 1 <= r.n_frames < 3
+        # every indexed frame is fully decodable
+        for i in range(r.n_frames):
+            assert np.all(np.isfinite(r[i].positions))
+
+    def test_trr_garbage_raises(self, tmp_path):
+        from transport_analysis_tpu.io.trr import TRRReader
+
+        g = tmp_path / "g.trr"
+        g.write_bytes(b"\x00" * 200)
+        with pytest.raises(IOError):
+            TRRReader(g)
+
+    def test_xtc_truncated_drops_partial_frame(self, tmp_path):
+        from transport_analysis_tpu.io.xtc import XTCReader, XTCWriter
+
+        rng = np.random.RandomState(1)
+        pos = rng.uniform(0, 20, (3, 40, 3)).astype(np.float32)
+        p = tmp_path / "t.xtc"
+        with XTCWriter(p, 40) as w:
+            for i in range(3):
+                w.write(positions=pos[i],
+                        dimensions=[20, 20, 20, 90, 90, 90])
+        full = p.read_bytes()
+        t = tmp_path / "trunc.xtc"
+        t.write_bytes(full[: int(len(full) * 0.8)])
+        r = XTCReader(t)
+        assert 1 <= r.n_frames < 3
+        for i in range(r.n_frames):
+            assert_allclose(r[i].positions, pos[i], atol=0.011)

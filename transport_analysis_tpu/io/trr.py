@@ -79,7 +79,12 @@ class _FrameInfo:
 
 
 def _parse_header(buf: bytes, offset: int) -> Optional[_FrameInfo]:
+    # fixed header = magic block (24) + sizes (40) + natoms/step/nre
+    # (12) + t/λ (8 or 16); a file ending inside it is a truncated
+    # trailing frame — report end-of-index, the caller warns
     if offset + 24 > len(buf):
+        return None
+    if offset + 12 + 12 + 4 * _HEADER_INTS + 12 + 16 > len(buf):
         return None
     magic, slen, wlen = struct.unpack_from(">iii", buf, offset)
     if magic != _MAGIC or slen != 13 or wlen != 12:
@@ -135,12 +140,31 @@ class TRRReader(ProtoReader):
         self._buf = map_readonly(self._path)
         self._index: list[_FrameInfo] = []
         offset = 0
+        truncated = False
         while True:
             info = _parse_header(self._buf, offset)
             if info is None:
+                # clean EOF lands exactly at the buffer end; leftover
+                # bytes mean the final frame's header was cut short
+                truncated = offset < len(self._buf)
+                break
+            end = info.data_offset + _frame_payload(info)
+            if end > len(self._buf):
+                truncated = True  # payload cut short
                 break
             self._index.append(info)
-            offset = info.data_offset + _frame_payload(info)
+            offset = end
+        if truncated:
+            # trailing partial frame (crashed writer / truncated copy):
+            # drop it rather than indexing unreadable data (GROMACS
+            # tools behave the same way)
+            import warnings
+
+            warnings.warn(
+                f"{self._path}: dropping truncated final frame "
+                f"(frame {len(self._index)})",
+                stacklevel=2,
+            )
         if not self._index:
             raise IOError(f"no frames found in {self._path}")
         first = self._index[0]

@@ -67,6 +67,8 @@ class XTCReader(ProtoReader):
                 pos += f.nbytes
             else:
                 f.plain = False
+                if pos + 36 > len(buf):
+                    break  # truncated trailing frame: drop it
                 (f.precision,) = struct.unpack_from(">f", buf, pos)
                 f.minint = struct.unpack_from(">3i", buf, pos + 4)
                 f.maxint = struct.unpack_from(">3i", buf, pos + 16)
@@ -75,6 +77,8 @@ class XTCReader(ProtoReader):
                 pos += 36
                 f.data_offset = pos
                 pos += (f.nbytes + 3) // 4 * 4  # padded
+            if f.data_offset + f.nbytes > len(buf):
+                break  # payload truncated: drop the partial frame
             self._index.append(f)
         if not self._index:
             raise IOError(f"no frames found in {self._path}")
