@@ -264,3 +264,33 @@ def test_uniform_writer_dispatch(tmp_path):
 
     with pytest.raises(ValueError, match="unsupported"):
         ta_io.Writer(tmp_path / "w.xyz", 6)
+
+
+def test_batch_engine_applies_trajectory_transformations():
+    """Regression: MemoryReader.read_frames_batch bypassed registered
+    transformations, so set_dimensions box volumes never reached the
+    batch engine and ViscosityHelfand raised NoDataError (found by the
+    verify flow, round 3)."""
+    import numpy as np
+
+    import transport_analysis_tpu as ta
+    from transport_analysis_tpu.core.transformations import set_dimensions
+    from transport_analysis_tpu.models import ViscosityHelfand
+
+    rng = np.random.default_rng(0)
+    n_atoms, n_frames = 4, 32
+    u = ta.Universe.empty(n_atoms, n_frames=n_frames, velocities=True,
+                          trajectory=True)
+    u.load_new(rng.normal(0, 1, (n_frames, n_atoms, 3)),
+               velocities=rng.normal(0, 1, (n_frames, n_atoms, 3)),
+               dt=0.01)
+    u.add_TopologyAttr("masses", np.full(n_atoms, 16.0))
+    u.trajectory.add_transformations(
+        set_dimensions([20.0, 20.0, 20.0, 90.0, 90.0, 90.0]))
+    h = ViscosityHelfand(u.atoms, temp_avg=300.0).run()
+    assert np.isfinite(np.asarray(h.results.timeseries)).all()
+    # per-frame engine must agree
+    h2 = ViscosityHelfand(u.atoms, temp_avg=300.0, engine="frame").run()
+    np.testing.assert_allclose(
+        np.asarray(h.results.timeseries),
+        np.asarray(h2.results.timeseries), rtol=1e-10)

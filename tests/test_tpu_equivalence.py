@@ -120,3 +120,45 @@ def test_acf_fft_f32_fast_mode_grade():
     want = acf_fft_numpy(x.astype(np.float64))
     scale = np.max(np.abs(want))
     assert_allclose(got, want, atol=1e-4 * scale)
+
+
+def test_pallas_fft_engine_matches_numpy_f64():
+    """The fused Pallas banded-FFT engine (ops/pallas_fft.py) at a
+    production-like shape, DC-offset data included (the offset
+    exercises the per-GEMM-column dynamic-exponent path)."""
+    import jax.numpy as jnp
+    from transport_analysis_tpu.ops import pallas_fft as PF
+
+    if not PF.supported(4096, 512):
+        pytest.skip("pallas_fft unsupported on this backend")
+    rng = np.random.RandomState(3)
+    m, s, n = 4096, 512, 2048
+    x = np.zeros((m, s))
+    x[:n] = rng.normal(0, 5, (n, s)) + rng.uniform(-20, 20, (1, s))
+    got = np.asarray(PF.raw_autocorr_pallas(jnp.asarray(x), n))
+    f = np.fft.rfft(x, axis=0)
+    want = np.fft.irfft(np.abs(f) ** 2, n=m, axis=0)[:n]
+    rel = np.max(np.abs(got - want)) / np.max(np.abs(want))
+    assert rel < 1e-11
+
+
+def test_pallas_fft_dispatch_in_acf():
+    """ops.acf_fft routes eligible float64 shapes through the Pallas
+    engine; the result must match the host oracle regardless."""
+    from transport_analysis_tpu import ops
+    from transport_analysis_tpu.ops.acf import acf_fft_numpy
+
+    rng = np.random.RandomState(4)
+    x = rng.normal(size=(2048, 256, 3)) + rng.uniform(
+        -10, 10, (1, 256, 3))
+    got = np.asarray(ops.acf_fft(x))
+    want = acf_fft_numpy(x)
+    denom = np.max(np.abs(want))
+    err = np.abs(got - want) / denom
+    # Early/mid lags carry the raw engine's ~1e-12 grade. The deepest
+    # lags divide the raw correlation by (N - lag) -> 1, which amplifies
+    # the raw ABSOLUTE error floor by ~N relative to the acf maximum
+    # (f64 itself shows the same effect at ~1e-12); keep a dedicated
+    # tight bound on the first half and a physical bound on the tail.
+    assert err[: len(err) // 2].max() < 1e-11
+    assert err.max() < 2e-9

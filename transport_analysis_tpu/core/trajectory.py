@@ -310,6 +310,10 @@ class MemoryReader(ProtoReader):
         return ts
 
     def read_frames_batch(self, indices) -> dict:
+        if self._transformations:
+            # registered per-frame transformations (e.g. set_dimensions)
+            # must be applied; only the base seek loop runs them
+            return ProtoReader.read_frames_batch(self, indices)
         indices = np.asarray(list(indices), dtype=np.int64)
         out = {"frames": indices}
         if self._pos is not None:

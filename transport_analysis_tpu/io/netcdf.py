@@ -72,6 +72,12 @@ class NCDFReader(ProtoReader):
         return ts
 
     def read_frames_batch(self, indices) -> dict:
+        if self._transformations:
+            # registered per-frame transformations must run;
+            # only the base seek loop applies them
+            from ..core.trajectory import ProtoReader
+
+            return ProtoReader.read_frames_batch(self, indices)
         from ..core.timestep import box_volume
 
         indices = np.asarray(list(indices), dtype=np.int64)

@@ -220,6 +220,12 @@ class TRRReader(ProtoReader):
         return ts
 
     def read_frames_batch(self, indices) -> dict:
+        if self._transformations:
+            # registered per-frame transformations must run;
+            # only the base seek loop applies them
+            from ..core.trajectory import ProtoReader
+
+            return ProtoReader.read_frames_batch(self, indices)
         indices = np.asarray(list(indices), dtype=np.int64)
         from . import _native
 

@@ -61,13 +61,31 @@ def _raw_autocorr_native(x: jax.Array) -> jax.Array:
 
 
 def raw_autocorr(x: jax.Array) -> jax.Array:
-    """Backend-dispatched raw autocorrelation over axis 0 of (N, S)."""
+    """Backend-dispatched raw autocorrelation over axis 0 of (N, S).
+
+    TPU float64 at production shapes goes through the fused Pallas
+    banded-FFT engine (ops/pallas_fft.py: ~40 device ops, int8 MXU
+    GEMMs, ~4x the XLA matmul-FFT path, ~1e-12 vs host float64);
+    other shapes/dtypes use the XLA matmul-FFT (ops/fft.py).
+    Disable with TRANSPORT_ANALYSIS_TPU_NO_PALLAS_FFT=1.
+    """
+    import os
+
     N = x.shape[0]
     if _has_native_fft():
         return _raw_autocorr_native(x)
+    M = 2 * next_pow_2(N)
+    if (
+        x.dtype == jnp.float64
+        and not os.environ.get("TRANSPORT_ANALYSIS_TPU_NO_PALLAS_FFT")
+    ):
+        from . import pallas_fft
+
+        if pallas_fft.supported(M, x.shape[1]):
+            x_pad = jnp.pad(x, ((0, M - N), (0, 0)))
+            return pallas_fft.raw_autocorr_pallas(x_pad, N)
     from .fft import raw_autocorr_matmul
 
-    M = 2 * next_pow_2(N)
     x_pad = jnp.pad(x, ((0, M - N), (0, 0)))
     return raw_autocorr_matmul(x_pad, N)
 

@@ -131,39 +131,72 @@ def prepare_rhs(b):
     return _slice_operand(b / b_exp, _N_SLICES), b_exp
 
 
-def banded_matmul(lhs_prep, rhs_prep):
-    """float64 product from prepared operands (exact bf16 GEMMs +
-    compensated f32 band merge)."""
-    a_bands, a_exp = lhs_prep
-    b_bands, b_exp = rhs_prep
+def _group_products(a_bands, b_bands):
+    """Per-significance-group sums Σ_{p+q=g} A_p @ B_q as ONE bf16 GEMM
+    per group via contraction-axis concatenation.
 
-    # band products, grouped by total significance p+q; within a group
-    # the f32 accumulation is exact (shared grid ulp)
+    All (p, q) pairs in group g share the product grid 2^-(7g+12) (the
+    absolutely-aligned-band property), so their partial products are
+    integers in a COMMON unit and the MXU's f32 accumulation across the
+    concatenated contraction axis is exact while |Σ| ≤ 2^24 grid units:
+    band magnitudes are ≤ 2^(δ−1)+1 = 65 units, so the bound holds for
+    K·(g+1) ≤ 2^24/65² ≈ 3970 — satisfied by _K_LIMIT with margin.
+    This replaces up to 28 GEMMs + 21 f32 adds with 7 GEMMs whose
+    intra-group sums ride the MXU accumulator for free (measured 2.6×
+    on the GEMM stage of the FFT pipeline, BENCH_NOTES round 3).
+
+    The RHS bands are stacked ONCE as [B_0; B_1; …] and each group
+    reads a prefix slice (no per-group copy); the tiny LHS concats are
+    ordered reversed ([A_g | … | A_0]) so prefix q-order pairs with
+    descending p.
+    """
+    n_bands = len(a_bands)
+    rhs_full = jnp.concatenate(b_bands, axis=0)
+    k = b_bands[0].shape[0]
     group_sums = []
-    for band in range(_MAX_BAND + 1):
-        acc = None
-        for p in range(min(band + 1, _N_SLICES)):
-            q = band - p
-            if q >= _N_SLICES:
-                continue
-            prod = jax.lax.dot(
-                a_bands[p],
-                b_bands[q],
+    for g in range(min(_MAX_BAND + 1, 2 * n_bands - 1)):
+        lo_q = max(0, g - n_bands + 1)
+        hi_q = min(g, n_bands - 1)
+        n_pairs = hi_q - lo_q + 1
+        # q ascending pairs with p = g - q descending
+        lhs = jnp.concatenate(
+            [a_bands[g - q] for q in range(lo_q, hi_q + 1)], axis=1
+        )
+        rhs = jax.lax.slice_in_dim(
+            rhs_full, lo_q * k, (lo_q + n_pairs) * k, axis=0
+        )
+        group_sums.append(
+            jax.lax.dot(
+                lhs,
+                rhs,
                 precision=jax.lax.Precision.DEFAULT,
                 preferred_element_type=jnp.float32,
             )
-            acc = prod if acc is None else acc + prod
-        group_sums.append(acc)
+        )
+    return group_sums
 
-    # compensated f32 summation across groups (descending magnitude)
+
+def _merge_groups(group_sums, scale):
+    """Compensated f32 summation across groups (descending magnitude),
+    then one f64 pass combining the (hi, lo) pair and undoing the
+    power-of-two normalization."""
     hi = group_sums[0]
     lo = jnp.zeros_like(hi)
     for g in group_sums[1:]:
         hi, e = _two_sum(hi, g)
         lo = lo + e
-    # one f64 pass: combine the pair and undo the normalization
     out = hi.astype(jnp.float64) + lo.astype(jnp.float64)
-    return out * (a_exp * b_exp)
+    return out * scale
+
+
+def banded_matmul(lhs_prep, rhs_prep):
+    """float64 product from prepared operands (exact bf16 GEMMs +
+    compensated f32 band merge)."""
+    a_bands, a_exp = lhs_prep
+    b_bands, b_exp = rhs_prep
+    return _merge_groups(
+        _group_products(a_bands, b_bands), a_exp * b_exp
+    )
 
 
 @jax.jit
@@ -175,14 +208,72 @@ def matmul_f64_ozaki(a, b):
     return banded_matmul(prepare_lhs(a), prepare_rhs(b))
 
 
+# exact-accumulation ceiling for the complex-stacked path: contraction
+# length per group is 2·K·(g+1) ≤ 2·K·7, and exactness needs
+# 65²·2·K·7 ≤ 2^24  ⟺  K ≤ 283 (see _group_products). 256 keeps a
+# power-of-two margin; larger K falls back to four banded products.
+_K_LIMIT_COMPLEX = 256
+
+
 def complex_dft_matmul(c, s, re, im):
-    """(c + i·s) @ (re + i·im) with each operand sliced exactly once
-    (four banded products; slicing the big RHS dominates, so sharing
-    its preparation beats the 3M trick here)."""
-    c_p = prepare_lhs(c)
-    s_p = prepare_lhs(s)
-    re_p = prepare_rhs(re)
-    im_p = prepare_rhs(im)
-    out_re = banded_matmul(c_p, re_p) - banded_matmul(s_p, im_p)
-    out_im = banded_matmul(c_p, im_p) + banded_matmul(s_p, re_p)
+    """(c + i·s) @ (re + i·im) as TWO grouped banded products.
+
+    The real/imaginary contractions are folded into the bf16 GEMMs
+    themselves: with a row exponent SHARED between c and s and a column
+    exponent SHARED between re and im (exact powers of two, so the
+    bands of all four operands live on one absolute grid), each band
+    slab stacks [RE_q; IM_q] along the contraction axis and the two
+    outputs use lhs band pairs [C_p | −S_p] (real part: C@RE − S@IM)
+    and [S_p | C_p] (imag part: S@RE + C@IM). Every product that the
+    four-banded formulation computed separately now rides the MXU f32
+    accumulator — still exactly, since all pairs in a significance
+    group share the grid ulp 2^-(7g+12) and |Σ| stays ≤ 2^24 grid units
+    for 2·K·(g+1) ≤ 3970. Halves the number of band-merge chains and
+    f64 conversions on top of the grouped-GEMM savings.
+
+    Sharing the column exponent costs nothing when |re| and |im|
+    columns are comparable (the FFT's case) and otherwise bounds the
+    smaller component's error relative to the COMPLEX magnitude — the
+    natural accuracy contract for a complex product.
+    """
+    if c.shape[1] > _K_LIMIT_COMPLEX:
+        c_p = prepare_lhs(c)
+        s_p = prepare_lhs(s)
+        re_p = prepare_rhs(re)
+        im_p = prepare_rhs(im)
+        out_re = banded_matmul(c_p, re_p) - banded_matmul(s_p, im_p)
+        out_im = banded_matmul(c_p, im_p) + banded_matmul(s_p, re_p)
+        return out_re, out_im
+
+    amax = jnp.maximum(
+        jnp.max(jnp.abs(c), axis=1, keepdims=True),
+        jnp.max(jnp.abs(s), axis=1, keepdims=True),
+    )
+    a_exp = _pow2_ceil(amax)
+    bmax = jnp.maximum(
+        jnp.max(jnp.abs(re), axis=0, keepdims=True),
+        jnp.max(jnp.abs(im), axis=0, keepdims=True),
+    )
+    b_exp = _pow2_ceil(bmax)
+
+    c_b = _slice_operand(c / a_exp, _N_SLICES)
+    s_b = _slice_operand(s / a_exp, _N_SLICES)
+    re_b = _slice_operand(re / b_exp, _N_SLICES)
+    im_b = _slice_operand(im / b_exp, _N_SLICES)
+
+    rhs_slabs = [
+        jnp.concatenate([re_b[q], im_b[q]], axis=0)
+        for q in range(_N_SLICES)
+    ]
+    lhs_re = [
+        jnp.concatenate([c_b[p], -s_b[p]], axis=1)
+        for p in range(_N_SLICES)
+    ]
+    lhs_im = [
+        jnp.concatenate([s_b[p], c_b[p]], axis=1)
+        for p in range(_N_SLICES)
+    ]
+    scale = a_exp * b_exp
+    out_re = _merge_groups(_group_products(lhs_re, rhs_slabs), scale)
+    out_im = _merge_groups(_group_products(lhs_im, rhs_slabs), scale)
     return out_re, out_im

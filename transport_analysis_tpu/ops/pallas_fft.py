@@ -1,0 +1,638 @@
+"""Fused Pallas autocorrelation FFT: float64-grade, int8 MXU, few ops.
+
+Why this exists. The matmul-decomposition FFT (ops/fft.py) is CORRECT
+on TPU but executes as ~1,800 XLA ops at the benchmark shape, and this
+backend's per-op floor (~30-100 us, trace-verified, BENCH_NOTES round
+3) makes the float64 path op-count-bound: ~46 ms where the arithmetic
+is worth ~5. This module computes the same Wiener-Khinchin raw
+autocorrelation as FOUR fused Pallas kernels (forward levels 1-2,
+inverse levels A-B) plus one small XLA unpack stage, so the whole
+pipeline is a few dozen device ops instead.
+
+Numerical scheme (Ozaki-style exact banded arithmetic, as in
+ops/ozaki.py, re-cut for in-kernel use):
+
+- float64 values travel between levels as DOUBLE-FLOAT PAIRS (hi, lo
+  float32). This TPU's "f64" is a float32 pair anyway; carrying it
+  explicitly lets Mosaic (f32-only) handle every step.
+- Each level slices its input into seven 7-bit mantissa bands on
+  absolutely aligned power-of-two grids. Band values are INTEGERS of
+  magnitude <= 68 in grid units: exact in int8, and the MXU's
+  int8 x int8 -> int32 dot is exact (68^2 * K_eff << 2^31; group sums
+  also stay < 2^24, keeping their f32 conversion exact). int8 matmuls
+  run 2x bf16 on the MXU.
+- Slicing needs no TwoSum: bands 0-2 come off `hi` by exact
+  nearest-grid-multiple subtraction (Sterbenz); then t = residual + lo
+  (ONE rounding at ~2^-45, below the 49-bit budget) yields bands 3-6.
+  The junction band magnitude is <= 68 grid units (slightly above the
+  65 of the sequential-f64 slicing; still int8-exact).
+- All band pairs with p+q = g share the grid ulp 2^-(7g+12), so group
+  sums are ONE int8 GEMM each via contraction-axis concatenation: the
+  lhs band stack is ordered [B_6 | ... | B_0] and group g multiplies
+  its SUFFIX against the rhs stack's PREFIX (ascending q). Complex
+  products fold in as well: rhs slabs stack [RE_q; IM_q] and the two
+  outputs use lhs band pairs [C_p | -S_p] and [S_p | C_p] (same
+  algebra as ops/ozaki.complex_dft_matmul).
+- Groups merge with a compensated (TwoSum) f32 chain into the output
+  pair, identical to ops/ozaki._merge_groups.
+
+Twiddle folding. The four-step factorization's twiddles are folded
+into the LEVEL MATRICES, which become per-grid-step constants: forward
+level 1 at batch column j2 applies diag(W_M^(k1 j2)) . DFT_128, and
+inverse level B at j2 applies IDFT_128-rows . diag(W_M^(-k1 j2)). The
+matrices are sliced to int8 bands IN FULL FLOAT64 ON THE HOST at trace
+time, so the twiddle multiply costs zero device work and zero accuracy
+(it rides the same 49-bit band budget as the DFT matrix). The kernels
+therefore contain NO transcendentals and NO double-float multiplies —
+only rint/pow2 slicing, int8 dots, and f32 adds.
+
+Dynamic range. Each kernel also emits the per-series-column max |.| of
+its output, accumulated across grid steps into a (1, W) side output;
+the next stage divides by the power-of-two ceiling of that max before
+slicing, so band coverage tracks the data's ACTUAL magnitude rather
+than the worst-case DFT growth bound (static grids lose ~8-17 bits on
+realistic spectra and would miss the 1e-11 accuracy contract). All
+scales are exact powers of two and are undone once in the epilogue.
+
+Layout. No transposes are ever materialized: the four-step's data
+movement lives in the BlockSpecs. With intermediates shaped
+(128, n2, W), levels alternate between contracting axis 0 in
+(128, 1, W_TILE) blocks (forward L1, inverse B — per-step lhs) and
+contracting axis 1 in (1, n2, W_TILE) blocks (forward L2, inverse A —
+shared lhs). Hermitian unpack + power spectrum stays in XLA (~10 fused
+ops; gather-bound).
+
+Supported: M = 128 * n2 for n2 in {32, 64, 128, 256} (int8 sublane
+tiling needs n2 >= 32; VMEM budget caps n2 <= 256), series count
+padded to a multiple of 2*W_TILE columns. Other shapes fall back to
+ops/fft.py. Reference contract: tidynamics.acf float64 semantics
+(reference velocityautocorr.py:208; tests pin 1e-11-grade agreement).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_DELTA = 7
+_N_BANDS = 7            # 49-bit coverage below each stage's column max
+_N1 = 128               # level-1 / inverse-level-B DFT size (MXU tile)
+_W_TILE = 256           # batch columns per grid step
+_HI_BANDS = 3           # bands taken from `hi` before folding in `lo`
+
+_Z0 = np.int32(0)       # index-map constant (python ints trace as i64
+                        # under x64 and fail Mosaic legalization)
+
+
+def _interpret() -> bool:
+    """Run kernels in interpreter mode off-TPU (tests on CPU)."""
+    return jax.default_backend() in ("cpu",)
+
+
+# ---------------------------------------------------------------------
+# host-side constant preparation (numpy, full float64)
+# ---------------------------------------------------------------------
+
+def _slice_bands_dev(x):
+    """Band-slice float64 data (|x| <= 1) into _N_BANDS int8 arrays on
+    the aligned grids 2^-(7q+6). Mirrors ops/ozaki._slice_operand;
+    every step is exact in the device's float64 pair arithmetic."""
+    bands = []
+    r = x
+    for q in range(_N_BANDS):
+        scale = 2.0 ** (_DELTA * (q + 1) - 1)
+        m = jnp.rint(r * scale)
+        bands.append(m.astype(jnp.int8))
+        r = r - m / scale
+    return bands
+
+
+def _complex_lhs_stacks_dev(c, s):
+    """lhs band stacks for complex matrices (c + i s) acting on rhs
+    slabs [RE_q; IM_q]: re-output uses [C_p | -S_p], im-output uses
+    [S_p | C_p]; both stacked REVERSED ([p=6 | ... | p=0]) so group g
+    takes the suffix of length 2K(g+1). Last-axis concat; leading
+    batch dims pass through."""
+    cb = _slice_bands_dev(c)
+    sb = _slice_bands_dev(s)
+    re_slabs = [jnp.concatenate([cb[p], -sb[p]], axis=-1)
+                for p in range(_N_BANDS)]
+    im_slabs = [jnp.concatenate([sb[p], cb[p]], axis=-1)
+                for p in range(_N_BANDS)]
+    return (jnp.concatenate(list(reversed(re_slabs)), axis=-1),
+            jnp.concatenate(list(reversed(im_slabs)), axis=-1))
+
+
+@functools.partial(jax.jit, static_argnames=("n2", "j1_out"))
+def _build_constants(d1c, d1s, d2c, d2s, twc, tws, e1c, e1s,
+                     n2: int, j1_out: int):
+    """Expand tiny exact host trig tables into the banded int8 level
+    matrices ON DEVICE (the expanded stacks are ~120 MB at n2=128;
+    embedding them as HLO literals or shipping them through the host
+    tunnel is far worse than a one-time device build)."""
+    out = {}
+    out["l2_re"], out["l2_im"] = (
+        x[None] for x in _complex_lhs_stacks_dev(d2c, d2s))
+    out["ia_re"], out["ia_im"] = (
+        x[None] for x in _complex_lhs_stacks_dev(d2c, -d2s))
+
+    # fwd L1 per j2: diag(tw_j2) @ DFT_128, tw = e^{-2 pi i k1 j2 / M}
+    lc = twc[:, :, None] * d1c[None] - tws[:, :, None] * d1s[None]
+    ls = twc[:, :, None] * d1s[None] + tws[:, :, None] * d1c[None]
+    out["l1_re"], out["l1_im"] = _complex_lhs_stacks_dev(lc, ls)
+
+    # inv B per j2: IDFT_128 rows (no 1/M) times conj twiddle:
+    # e^{+i(e1 + ang)} with ang = 2 pi k1 j2 / M
+    # cos(a+b) = ca cb - sa sb ; sin(a+b) = sa cb + ca sb
+    angc, angs = twc, -tws   # cos(ang), sin(ang)
+    bc = (e1c[None] * angc[:, None, :] - e1s[None] * angs[:, None, :])
+    bs = (e1s[None] * angc[:, None, :] + e1c[None] * angs[:, None, :])
+    out["ib_re"], out["ib_im"] = _complex_lhs_stacks_dev(bc, bs)
+    return out
+
+
+@functools.lru_cache(maxsize=4)
+def _device_constants(n2: int, j1_out: int):
+    """Banded int8 level matrices for M = 128*n2, twiddles folded,
+    cached on device.
+
+    l1_re/l1_im: (n2, 128, 2*128*7)    fwd L1, per j2
+    l2_re/l2_im: (1, n2, 2*n2*7)       fwd L2, shared (DFT_n2)
+    ia_re/ia_im: (1, n2, 2*n2*7)       inv A, shared (conj DFT_n2)
+    ib_re/ib_im: (n2, j1_out, 2*128*7) inv B, per j2 (IDFT_128 rows;
+                 the 1/M lives in the caller's epilogue scale —
+                 dividing the matrix would waste log2(M) band bits)
+    """
+    k1 = np.arange(_N1)
+    theta1 = 2.0 * np.pi * np.outer(k1, k1) / _N1
+    jj = np.arange(n2)
+    theta2 = 2.0 * np.pi * np.outer(jj, jj) / n2
+    mm = _N1 * n2
+    ang = 2.0 * np.pi * np.outer(jj, k1) / mm
+    e1 = 2.0 * np.pi * np.outer(np.arange(j1_out), k1) / _N1
+    f64 = jnp.float64
+    # ensure_compile_time_eval: this cache is often first populated
+    # while TRACING a caller's jit — without it the lru_cache would
+    # capture (and leak) tracers instead of concrete device arrays
+    with jax.ensure_compile_time_eval():
+        consts = _build_constants(
+            jnp.asarray(np.cos(theta1), f64),
+            jnp.asarray(-np.sin(theta1), f64),
+            jnp.asarray(np.cos(theta2), f64),
+            jnp.asarray(-np.sin(theta2), f64),
+            jnp.asarray(np.cos(ang), f64), jnp.asarray(-np.sin(ang), f64),
+            jnp.asarray(np.cos(e1), f64), jnp.asarray(np.sin(e1), f64),
+            n2=n2, j1_out=j1_out,
+        )
+    return jax.tree_util.tree_map(jax.block_until_ready, consts)
+
+
+# ---------------------------------------------------------------------
+# in-kernel building blocks
+# ---------------------------------------------------------------------
+
+def _slice_pair_into(ref, base, step, hi, lo, n_bands=_N_BANDS):
+    """Write ``n_bands`` int8 band rows of the pair (hi, lo),
+    |hi+lo| <= 1, at ref[base + q*step : base + q*step + K]."""
+    k = hi.shape[0]
+    r = hi
+    for q in range(n_bands):
+        if q == _HI_BANDS:
+            r = r + lo   # one rounding ~2^-45, below the band budget
+        s = np.float32(2.0 ** (_DELTA * (q + 1) - 1))
+        g = np.float32(2.0 ** -(_DELTA * (q + 1) - 1))
+        mq = jnp.rint(r * s)
+        ref[base + q * step: base + q * step + k] = mq.astype(jnp.int8)
+        r = r - mq * g
+
+
+def _two_sum(a, b):
+    s = a + b
+    bv = s - a
+    return s, (a - (s - bv)) + (b - bv)
+
+
+def _merge(groups):
+    """Compensated f32 sum of int32 group GEMMs (descending magnitude;
+    group g carries grid ulp 2^-(7g+12)) into a double-float pair."""
+    hi = groups[0].astype(jnp.float32) * np.float32(2.0 ** -12)
+    lo = jnp.zeros_like(hi)
+    for g in range(1, len(groups)):
+        v = groups[g].astype(jnp.float32) * np.float32(
+            2.0 ** -(_DELTA * g + 12))
+        hi, e = _two_sum(hi, v)
+        lo = lo + e
+    return hi, lo
+
+
+def _grouped_dots(lhs_stack, rhs_ref, k_slab):
+    """One exact int8 GEMM per significance group: lhs suffix
+    (length k_slab*(g+1)) x rhs prefix."""
+    k_total = k_slab * _N_BANDS
+    return [
+        jax.lax.dot(
+            lhs_stack[:, k_total - k_slab * (g + 1):],
+            rhs_ref[: k_slab * (g + 1)],
+            preferred_element_type=jnp.int32,
+        )
+        for g in range(_N_BANDS)
+    ]
+
+
+def _level_kernel_body(transposed_out: bool, lre_ref, lim_ref, rh_ref,
+                       rl_ref, ih_ref, il_ref, s_ref, orh_ref, orl_ref,
+                       oih_ref, oil_ref, omax_ref, rhs_scratch):
+    """One banded level on a (K, W_TILE) block of flat (step, w)
+    columns. Data travels in TRUE units between levels: the kernel
+    divides by the per-GEMM-COLUMN power-of-two scale, slices into int8
+    slabs, runs the grouped exact GEMMs for both complex outputs,
+    merges, and multiplies the scale back in before storing (all scale
+    ops exact). Per-column — not per-series — normalization matters: a
+    spectrum with a DC spike otherwise costs every other spectral
+    column ~17 bits of band coverage (measured 1e-11 vs 1e-13).
+    With transposed_out the (rows, W) result lands as a (1, rows, W)
+    block of a (n_steps, rows, w) array — the four-step's inter-level
+    relayout rides the output BlockSpec instead of an XLA transpose."""
+    s = s_ref[:]
+    inv = 1.0 / s
+    rh, rl = rh_ref[:] * inv, rl_ref[:] * inv
+    ih, il = ih_ref[:] * inv, il_ref[:] * inv
+    k = rh.shape[0]
+
+    # rhs band stack: slab q = [RE_q; IM_q] at rows [2Kq, 2K(q+1))
+    _slice_pair_into(rhs_scratch, 0, 2 * k, rh, rl)
+    _slice_pair_into(rhs_scratch, k, 2 * k, ih, il)
+
+    re_hi, re_lo = _merge(_grouped_dots(lre_ref[0], rhs_scratch, 2 * k))
+    im_hi, im_lo = _merge(_grouped_dots(lim_ref[0], rhs_scratch, 2 * k))
+    re_hi, re_lo, im_hi, im_lo = (
+        re_hi * s, re_lo * s, im_hi * s, im_lo * s)
+
+    if transposed_out:
+        orh_ref[0] = re_hi
+        orl_ref[0] = re_lo
+        oih_ref[0] = im_hi
+        oil_ref[0] = im_lo
+    else:
+        orh_ref[:] = re_hi
+        orl_ref[:] = re_lo
+        oih_ref[:] = im_hi
+        oil_ref[:] = im_lo
+    omax_ref[:] = jnp.max(
+        jnp.maximum(jnp.abs(re_hi), jnp.abs(im_hi)),
+        axis=0, keepdims=True)
+
+
+def _banded_level(lre, lim, pair, scale, out_rows: int,
+                  per_step_lhs: bool, n_w: int,
+                  transposed_out: bool = False):
+    """Run one banded level over a (K, n_steps*W) double-float complex
+    intermediate (columns flat (step, w), W = n_w * _W_TILE per step).
+
+    ``pair`` = (re_hi, re_lo, im_hi, im_lo); ``scale`` = (1, n_steps*W)
+    power-of-two scale per flat GEMM column, divided out before slicing
+    and multiplied back after the merge. Returns (out pair, colmax
+    (1, n_steps*W) of the true outputs). The out pair is
+    (out_rows, n_steps*W) — or, with transposed_out, the relayouted
+    (n_steps, out_rows, w) form the NEXT level consumes as a plain
+    reshape view, eliminating XLA transposes.
+    """
+    rh, rl, ih, il = pair
+    k, cols = rh.shape
+    n_tiles = cols // _W_TILE
+    n_steps = n_tiles // n_w
+
+    if per_step_lhs:
+        lhs_idx = lambda t: (                        # noqa: E731
+            jax.lax.div(t, np.int32(n_w)), _Z0, _Z0)
+    else:
+        lhs_idx = lambda t: (_Z0, _Z0, _Z0)          # noqa: E731
+    lhs_spec = pl.BlockSpec(
+        (1,) + lre.shape[1:], lhs_idx, memory_space=pltpu.VMEM)
+    data_spec = pl.BlockSpec((k, _W_TILE), lambda t: (_Z0, t),
+                             memory_space=pltpu.VMEM)
+    if transposed_out:
+        out_shape = (n_steps, out_rows, n_w * _W_TILE)
+        out_spec = pl.BlockSpec(
+            (1, out_rows, _W_TILE),
+            lambda t: (jax.lax.div(t, np.int32(n_w)), _Z0,
+                       jax.lax.rem(t, np.int32(n_w))),
+            memory_space=pltpu.VMEM)
+    else:
+        out_shape = (out_rows, cols)
+        out_spec = pl.BlockSpec((out_rows, _W_TILE), lambda t: (_Z0, t),
+                                memory_space=pltpu.VMEM)
+    max_spec = pl.BlockSpec((1, _W_TILE), lambda t: (_Z0, t),
+                            memory_space=pltpu.VMEM)
+    scale_spec = max_spec
+
+    f32 = jnp.float32
+    outs = pl.pallas_call(
+        functools.partial(_level_kernel_body, transposed_out),
+        grid=(n_tiles,),
+        in_specs=[lhs_spec, lhs_spec, data_spec, data_spec, data_spec,
+                  data_spec, scale_spec],
+        out_specs=(out_spec,) * 4 + (max_spec,),
+        out_shape=(
+            (jax.ShapeDtypeStruct(out_shape, f32),) * 4
+            + (jax.ShapeDtypeStruct((1, cols), f32),)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2 * k * _N_BANDS, _W_TILE), jnp.int8)],
+        interpret=_interpret(),
+    )(lre, lim, rh, rl, ih, il, scale)
+    return outs[:4], outs[4]
+
+
+def _colmax_reduce(cm_flat, n_steps: int, w: int):
+    """(1, n_steps*W) per-tile maxima -> (1, W) per-series-column."""
+    return jnp.max(cm_flat.reshape(n_steps, w), axis=0, keepdims=True)
+
+
+# ---------------------------------------------------------------------
+# fused Hermitian unpack + power spectrum + inverse level A
+# ---------------------------------------------------------------------
+
+def _df_add(ah, al, bh, bl):
+    """Double-float addition: TwoSum on heads, tails folded."""
+    s, e = _two_sum(ah, bh)
+    return s, e + al + bl
+
+
+def _df_sq(h, l):
+    """(h + l)^2 to ~2^-45 relative: exact h*h via a Dekker/Veltkamp
+    split (no FMA on the VPU) plus the first-order 2hl cross term."""
+    c = h * np.float32(4097.0)
+    hh = c - (c - h)
+    ht = h - hh
+    p = h * h
+    e = ((hh * hh - p) + 2.0 * (hh * ht)) + ht * ht
+    return p, e + 2.0 * (h * l)
+
+
+def _half(h, l):
+    return h * np.float32(0.5), l * np.float32(0.5)
+
+
+def _inva_kernel_body(n_w: int, lre_ref, lim_ref,
+                      zrh_ref, zrl_ref, zih_ref, zil_ref,
+                      frh_ref, frl_ref, fih_ref, fil_ref,
+                      r0rh_ref, r0rl_ref, r0ih_ref, r0il_ref,
+                      s_ref, orh_ref, orl_ref, oih_ref, oil_ref,
+                      omax_ref, rhs_scratch):
+    """Inverse level A with the Hermitian unpack and power spectrum
+    fused in. Inputs per (k1, w) tile: the straight Z block, the
+    k2-FLIPPED Z block of the MIRRORED k1 column (flip done by one XLA
+    rev; the k1-mirror rides the index_map), and the roll-flipped
+    k1 = 0 plane (the (M-k) pairing is (n2-1-k2, 128-k1) for k1 > 0
+    but ((n2-k2) mod n2, 0) on the k1 = 0 plane). Computes
+    F1/F2 and their power spectra in double-float arithmetic, then
+    slices (P1 + i P2)/s — s a per-column power-of-two bound on the
+    power maximum — into the banded GEMMs of conj(DFT_n2), and
+    multiplies s back into the merged result (true units out)."""
+    zrh, zrl = zrh_ref[:], zrl_ref[:]
+    zih, zil = zih_ref[:], zil_ref[:]
+
+    k1 = jax.lax.div(pl.program_id(0), np.int32(n_w))
+    is0 = k1 == 0
+    mrh = jnp.where(is0, r0rh_ref[:], frh_ref[:])
+    mrl = jnp.where(is0, r0rl_ref[:], frl_ref[:])
+    mih = jnp.where(is0, r0ih_ref[:], fih_ref[:])
+    mil = jnp.where(is0, r0il_ref[:], fil_ref[:])
+
+    # F1 = (Z + conj(Zr))/2, F2 = (Z - conj(Zr))/(2i)
+    f1r = _half(*_df_add(zrh, zrl, mrh, mrl))
+    f1i = _half(*_df_add(zih, zil, -mih, -mil))
+    f2r = _half(*_df_add(zih, zil, mih, mil))
+    f2i = _half(*_df_add(mrh, mrl, -zrh, -zrl))
+
+    s = s_ref[:]
+    inv = 1.0 / s
+    p1 = _df_add(*_df_sq(*f1r), *_df_sq(*f1i))
+    p2 = _df_add(*_df_sq(*f2r), *_df_sq(*f2i))
+    p1 = (p1[0] * inv, p1[1] * inv)
+    p2 = (p2[0] * inv, p2[1] * inv)
+
+    # The P slicing gets an EIGHTH band: the slicing scale bounds
+    # colmax(P) only to within 2 bits, and with 7 bands that slack
+    # would surface as ~4x the band-truncation error (measured
+    # 1.04e-11 at the bench shape — over the 1e-11 contract). Band 7
+    # pushes the truncation to 2^-56 * bound; it pairs only with the
+    # lhs's leading band (one extra small GEMM, group ulp 2^-(7*7+12)).
+    k = zrh.shape[0]
+    _slice_pair_into(rhs_scratch, 0, 2 * k, *p1, n_bands=_N_BANDS + 1)
+    _slice_pair_into(rhs_scratch, k, 2 * k, *p2, n_bands=_N_BANDS + 1)
+
+    def dots8(lhs_stack):
+        groups = _grouped_dots(lhs_stack, rhs_scratch, 2 * k)
+        groups.append(jax.lax.dot(
+            lhs_stack[:, -2 * k:],
+            rhs_scratch[_N_BANDS * 2 * k: (_N_BANDS + 1) * 2 * k],
+            preferred_element_type=jnp.int32,
+        ))
+        return groups
+
+    re_hi, re_lo = _merge(dots8(lre_ref[0]))
+    im_hi, im_lo = _merge(dots8(lim_ref[0]))
+    re_hi, re_lo, im_hi, im_lo = (
+        re_hi * s, re_lo * s, im_hi * s, im_lo * s)
+
+    orh_ref[0] = re_hi
+    orl_ref[0] = re_lo
+    oih_ref[0] = im_hi
+    oil_ref[0] = im_lo
+    omax_ref[:] = jnp.max(
+        jnp.maximum(jnp.abs(re_hi), jnp.abs(im_hi)),
+        axis=0, keepdims=True)
+
+
+def _inva_fused(lre, lim, pair, scale, n2: int, n_w: int):
+    """Fused unpack + inverse level A over the Z pair laid out
+    (k2, (k1, w)). Emits the relayouted (k1, j2, w) form + colmax."""
+    zrh, zrl, zih, zil = pair
+    cols = zrh.shape[1]
+    w = n_w * _W_TILE
+    n_tiles = cols // _W_TILE
+
+    # k2-flip (XLA rev: Mosaic has no in-kernel reverse) and the
+    # roll-flipped k1 = 0 plane
+    flipped = tuple(jnp.flip(a, axis=0) for a in pair)
+    r0 = tuple(
+        jnp.roll(jnp.flip(a.reshape(n2, _N1, w)[:, 0, :], axis=0),
+                 1, axis=0)
+        for a in pair
+    )
+
+    lhs_spec = pl.BlockSpec(
+        (1,) + lre.shape[1:], lambda t: (_Z0, _Z0, _Z0),
+        memory_space=pltpu.VMEM)
+    data_spec = pl.BlockSpec((n2, _W_TILE), lambda t: (_Z0, t),
+                             memory_space=pltpu.VMEM)
+
+    def mirror_idx(t):
+        k1 = jax.lax.div(t, np.int32(n_w))
+        wj = jax.lax.rem(t, np.int32(n_w))
+        mk1 = jax.lax.rem(np.int32(_N1) - k1, np.int32(_N1))
+        return (_Z0, mk1 * np.int32(n_w) + wj)
+
+    mirror_spec = pl.BlockSpec((n2, _W_TILE), mirror_idx,
+                               memory_space=pltpu.VMEM)
+    r0_spec = pl.BlockSpec(
+        (n2, _W_TILE),
+        lambda t: (_Z0, jax.lax.rem(t, np.int32(n_w))),
+        memory_space=pltpu.VMEM)
+    scale_spec = pl.BlockSpec((1, _W_TILE), lambda t: (_Z0, t),
+                              memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec(
+        (1, n2, _W_TILE),
+        lambda t: (jax.lax.div(t, np.int32(n_w)), _Z0,
+                   jax.lax.rem(t, np.int32(n_w))),
+        memory_space=pltpu.VMEM)
+    max_spec = pl.BlockSpec((1, _W_TILE), lambda t: (_Z0, t),
+                            memory_space=pltpu.VMEM)
+
+    f32 = jnp.float32
+    outs = pl.pallas_call(
+        functools.partial(_inva_kernel_body, n_w),
+        grid=(n_tiles,),
+        in_specs=[lhs_spec, lhs_spec] + [data_spec] * 4
+        + [mirror_spec] * 4 + [r0_spec] * 4 + [scale_spec],
+        out_specs=(out_spec,) * 4 + (max_spec,),
+        out_shape=(
+            (jax.ShapeDtypeStruct((_N1, n2, w), f32),) * 4
+            + (jax.ShapeDtypeStruct((1, cols), f32),)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2 * n2 * (_N_BANDS + 1), _W_TILE), jnp.int8)],
+        interpret=_interpret(),
+    )(lre, lim, *pair, *flipped, *r0, scale)
+    return outs[:4], outs[4]
+
+
+# ---------------------------------------------------------------------
+# orchestration
+# ---------------------------------------------------------------------
+
+def _pow2_ceil_f32(m):
+    """Power-of-two >= m as float32, zeros -> 1, via exponent-field bit
+    manipulation. NOT jnp.exp2: this backend's f32 exp2 is a polynomial
+    approximation that is INEXACT for large arguments (measured:
+    exp2(31) = 2147476900 != 2^31), and a scale that is not exactly a
+    power of two silently breaks every "exact" pair-arithmetic
+    division in the kernels (~1e-7 end-to-end, the hard way)."""
+    m32 = m.astype(jnp.float32)
+    u = jax.lax.bitcast_convert_type(m32, jnp.uint32)
+    exp = (u >> np.uint32(23)) & np.uint32(0xFF)
+    frac = u & np.uint32(0x7FFFFF)
+    exp_out = exp + (frac != 0).astype(jnp.uint32)
+    out = jax.lax.bitcast_convert_type(
+        exp_out << np.uint32(23), jnp.float32)
+    return jnp.where(m32 <= 0, jnp.float32(1.0), out)
+
+
+def _split_pair(x64):
+    hi = x64.astype(jnp.float32)
+    lo = (x64 - hi.astype(jnp.float64)).astype(jnp.float32)
+    return hi, lo
+
+
+def supported(m: int, s: int) -> bool:
+    """Shapes this engine handles; others use ops/fft.py."""
+    if jax.default_backend() in ("cpu", "gpu", "cuda", "rocm"):
+        return False
+    n2, rem = divmod(m, _N1)
+    return rem == 0 and n2 in (32, 64, 128, 256) and s >= 2 * _W_TILE
+
+
+def raw_autocorr_pallas(x, n_out: int):
+    """Raw linear autocorrelation per column via the fused banded FFT.
+
+    Contract identical to ops.fft.raw_autocorr_matmul: ``x`` (M, S)
+    float64, zero-padded to M >= 2*series_length, M = 128*n2; returns
+    (n_out, S) float64 with out[lag, s] = sum_i x[i,s] x[i+lag,s].
+    """
+    m, s = x.shape
+    n2 = m // _N1
+    j1_out = -(-n_out // n2)
+    consts = _device_constants(n2, j1_out)
+    return _raw_autocorr_impl(x, consts, n_out)
+
+
+@functools.partial(jax.jit, static_argnames=("n_out",))
+def _raw_autocorr_impl(x, consts, n_out: int):
+    m, s = x.shape
+    n2 = m // _N1
+    j1_out = max(1, -(-n_out // n2))
+
+    # pack two real series per complex column; pad W to the tile width
+    half = (s + 1) // 2
+    w = -(-half // _W_TILE) * _W_TILE
+    n_w = w // _W_TILE
+    x = jnp.pad(x, ((0, 0), (0, 2 * w - s)))
+    re64 = x[:, :w]
+    im64 = x[:, w:]
+
+    rh, rl = _split_pair(re64)
+    ih, il = _split_pair(im64)
+    # x[j], j = j1*n2 + j2  ->  rows j1, flat columns (j2, w)
+    pair = tuple(a.reshape(_N1, n2 * w) for a in (rh, rl, ih, il))
+
+    # Every level normalizes per flat GEMM COLUMN (and un-scales on the
+    # way out), so band coverage tracks each spectral column's own
+    # magnitude — a DC-heavy series must not cost the other columns'
+    # precision. K1's scale comes from the input; later scales come
+    # from the previous kernel's colmax side output or (for the levels
+    # whose step axis is the reduction the next level needs) a cheap
+    # XLA reduce over the 3D intermediate.
+    s_in = _pow2_ceil_f32(jnp.maximum(jnp.max(jnp.abs(pair[0]), axis=0,
+                                              keepdims=True),
+                                      jnp.max(jnp.abs(pair[2]), axis=0,
+                                              keepdims=True)))
+
+    # forward level 1 (contract j1 per j2, twiddle folded), writing the
+    # relayouted (j2, k1, w) form directly: (j1, (j2, w)) -> (j2, k1, w)
+    pair, _ = _banded_level(consts["l1_re"], consts["l1_im"], pair,
+                            s_in, _N1, True, n_w, transposed_out=True)
+    # K2 needs max over j2 per (k1, w): reduce the 3D intermediate
+    s1 = _pow2_ceil_f32(jnp.max(
+        jnp.maximum(jnp.abs(pair[0]), jnp.abs(pair[2])),
+        axis=0).reshape(1, _N1 * w))
+    # forward level 2 (contract j2 per k1): (j2, (k1, w)) -> (k2, (k1, w))
+    pair = tuple(a.reshape(n2, _N1 * w) for a in pair)
+    pair, cm2 = _banded_level(consts["l2_re"], consts["l2_im"], pair,
+                              s1, n2, False, n_w)
+
+    # inverse level A with the Hermitian unpack + power spectrum fused
+    # in-kernel (the only XLA prep left is the k2-flip). The per-column
+    # slicing scale bounds colmax(P) by 2 max(|Z|, |Z_mirror|)^2 —
+    # within ~2 bits of the true power maximum; the 8th P band absorbs
+    # the slack. Emits the relayouted (k1, j2, w) form.
+    cm2m = cm2.reshape(_N1, w)
+    cm2m = jnp.maximum(
+        cm2m, jnp.roll(jnp.flip(cm2m, axis=0), 1, axis=0))
+    sz2 = 2.0 * _pow2_ceil_f32(cm2m.reshape(1, _N1 * w)) ** 2
+    pair, _ = _inva_fused(consts["ia_re"], consts["ia_im"], pair,
+                          sz2, n2, n_w)
+    # invB needs max over k1 per (j2, w): reduce the 3D intermediate
+    s3 = _pow2_ceil_f32(jnp.max(
+        jnp.maximum(jnp.abs(pair[0]), jnp.abs(pair[2])),
+        axis=0).reshape(1, n2 * w))
+    # inverse level B (contract k1 per j2, conj twiddle folded):
+    #   (k1, (j2, w)) -> (j1, (j2, w))
+    pair = tuple(a.reshape(_N1, n2 * w) for a in pair)
+    pair, _ = _banded_level(consts["ib_re"], consts["ib_im"], pair,
+                            s3, j1_out, True, n_w)
+
+    # epilogue: values are already in true units; only the inverse
+    # transform's 1/M remains
+    gr = (pair[0].astype(jnp.float64) + pair[1].astype(jnp.float64))
+    gi = (pair[2].astype(jnp.float64) + pair[3].astype(jnp.float64))
+    gr = gr.reshape(j1_out * n2, w)[:n_out] / m
+    gi = gi.reshape(j1_out * n2, w)[:n_out] / m
+    return jnp.concatenate([gr, gi], axis=1)[:, :s]
