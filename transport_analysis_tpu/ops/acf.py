@@ -115,9 +115,40 @@ def raw_autocorr_sumlast(x: jax.Array) -> jax.Array:
     d× smaller inverse saves (BENCH_NOTES.md, round 2). The TPU path
     keeps the fused per-block pipeline and sums afterwards.
     """
+    import os
+
     N, P, d = x.shape
     if _has_native_fft():
         return _raw_autocorr_native_sumlast(x)
+    M = 2 * next_pow_2(N)
+    S = P * d
+    if (
+        x.dtype == jnp.float64
+        and not os.environ.get("TRANSPORT_ANALYSIS_TPU_NO_PALLAS_FFT")
+    ):
+        from . import pallas_fft
+
+        if pallas_fft.supported(M, S):
+            # Post-process in the double-float pair domain: emulated-
+            # f64 reshapes/copies cost ~1 ms per 100 MB here (trace-
+            # measured 13 ms of reshapes in this wrapper alone), so the
+            # concat/slice/reshape/component-sum all run on f32 pairs
+            # and only the final (N, P) result converts to float64.
+            x_pad = jnp.pad(x.reshape(N, S), ((0, M - N), (0, 0)))
+            gr_hi, gr_lo, gi_hi, gi_lo = (
+                pallas_fft.raw_autocorr_pallas_pair(x_pad, N))
+            hi = jnp.concatenate([gr_hi, gi_hi], axis=1)[:, :S]
+            lo = jnp.concatenate([gr_lo, gi_lo], axis=1)[:, :S]
+            hi = hi.reshape(N, P, d)
+            lo = lo.reshape(N, P, d)
+            sh, sl = hi[..., 0], lo[..., 0]
+            for c in range(1, d):
+                s2 = sh + hi[..., c]
+                bv = s2 - sh
+                e = (sh - (s2 - bv)) + (hi[..., c] - bv)  # TwoSum
+                sh = s2
+                sl = sl + e + lo[..., c]
+            return sh.astype(jnp.float64) + sl.astype(jnp.float64)
     raw = raw_autocorr(x.reshape(N, P * d)).reshape(N, P, d)
     return jnp.sum(raw, axis=-1)
 

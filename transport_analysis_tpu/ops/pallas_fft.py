@@ -345,6 +345,8 @@ def _banded_level(lre, lim, pair, scale, out_rows: int,
         ),
         scratch_shapes=[
             pltpu.VMEM((2 * k * _N_BANDS, _W_TILE), jnp.int8)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
         interpret=_interpret(),
     )(lre, lim, rh, rl, ih, il, scale)
     return outs[:4], outs[4]
@@ -510,6 +512,8 @@ def _inva_fused(lre, lim, pair, scale, n2: int, n_w: int):
         ),
         scratch_shapes=[
             pltpu.VMEM((2 * n2 * (_N_BANDS + 1), _W_TILE), jnp.int8)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
         interpret=_interpret(),
     )(lre, lim, *pair, *flipped, *r0, scale)
     return outs[:4], outs[4]
@@ -550,6 +554,11 @@ def supported(m: int, s: int) -> bool:
     return rem == 0 and n2 in (32, 64, 128, 256) and s >= 2 * _W_TILE
 
 
+def _padded_w(n2: int, s: int) -> int:
+    half = (s + 1) // 2
+    return -(-half // _W_TILE) * _W_TILE
+
+
 def raw_autocorr_pallas(x, n_out: int):
     """Raw linear autocorrelation per column via the fused banded FFT.
 
@@ -557,9 +566,27 @@ def raw_autocorr_pallas(x, n_out: int):
     float64, zero-padded to M >= 2*series_length, M = 128*n2; returns
     (n_out, S) float64 with out[lag, s] = sum_i x[i,s] x[i+lag,s].
     """
-    m, s = x.shape
+    s = x.shape[1]
+    gr_hi, gr_lo, gi_hi, gi_lo = raw_autocorr_pallas_pair(x, n_out)
+    gr = gr_hi.astype(jnp.float64) + gr_lo.astype(jnp.float64)
+    gi = gi_hi.astype(jnp.float64) + gi_lo.astype(jnp.float64)
+    return jnp.concatenate([gr, gi], axis=1)[:, :s]
+
+
+def raw_autocorr_pallas_pair(x, n_out: int):
+    """Like :func:`raw_autocorr_pallas` but returns the result BEFORE
+    any float64 materialization: the two packed halves (gr = padded
+    columns [0, w), gi = columns [w, 2w); w = ``_padded_w(n2, s)``) as
+    double-float (hi, lo) float32 arrays of shape (n_out, w) each.
+
+    Emulated-float64 arrays on this TPU cost ~1 ms per 100 MB of
+    physical reshape/copy (trace-measured); callers that post-process
+    (component sums, lag normalization) should do so on the pairs and
+    convert only the small final result to float64.
+    """
+    m = x.shape[0]
     n2 = m // _N1
-    j1_out = -(-n_out // n2)
+    j1_out = max(1, -(-n_out // n2))
     consts = _device_constants(n2, j1_out)
     return _raw_autocorr_impl(x, consts, n_out)
 
@@ -570,16 +597,21 @@ def _raw_autocorr_impl(x, consts, n_out: int):
     n2 = m // _N1
     j1_out = max(1, -(-n_out // n2))
 
-    # pack two real series per complex column; pad W to the tile width
-    half = (s + 1) // 2
-    w = -(-half // _W_TILE) * _W_TILE
-    n_w = w // _W_TILE
-    x = jnp.pad(x, ((0, 0), (0, 2 * w - s)))
-    re64 = x[:, :w]
-    im64 = x[:, w:]
+    # split to the f32 pair FIRST: every pad/reshape after this point
+    # moves float32, not emulated float64 (whose physical relayouts
+    # cost ~1 ms per 100 MB on this backend)
+    hi_s, lo_s = _split_pair(x)
 
-    rh, rl = _split_pair(re64)
-    ih, il = _split_pair(im64)
+    # pack two real series per complex column; pad W to the tile width
+    w = _padded_w(n2, s)
+    n_w = w // _W_TILE
+
+    def pack(arr):
+        arr = jnp.pad(arr, ((0, 0), (0, 2 * w - s)))
+        return arr[:, :w], arr[:, w:]
+
+    rh, ih = pack(hi_s)
+    rl, il = pack(lo_s)
     # x[j], j = j1*n2 + j2  ->  rows j1, flat columns (j2, w)
     pair = tuple(a.reshape(_N1, n2 * w) for a in (rh, rl, ih, il))
 
@@ -629,10 +661,9 @@ def _raw_autocorr_impl(x, consts, n_out: int):
     pair, _ = _banded_level(consts["ib_re"], consts["ib_im"], pair,
                             s3, j1_out, True, n_w)
 
-    # epilogue: values are already in true units; only the inverse
-    # transform's 1/M remains
-    gr = (pair[0].astype(jnp.float64) + pair[1].astype(jnp.float64))
-    gi = (pair[2].astype(jnp.float64) + pair[3].astype(jnp.float64))
-    gr = gr.reshape(j1_out * n2, w)[:n_out] / m
-    gi = gi.reshape(j1_out * n2, w)[:n_out] / m
-    return jnp.concatenate([gr, gi], axis=1)[:, :s]
+    # epilogue: values are in true units; the inverse transform's 1/M
+    # is an exact power-of-two scale applied to the f32 pair. Output
+    # stays in pair form — float64 conversion is the caller's last step.
+    inv_m = np.float32(1.0 / m)
+    return tuple(
+        a.reshape(j1_out * n2, w)[:n_out] * inv_m for a in pair)
