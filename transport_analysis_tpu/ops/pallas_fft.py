@@ -72,6 +72,7 @@ ops/fft.py. Reference contract: tidynamics.acf float64 semantics
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
@@ -231,6 +232,14 @@ def _merge(groups):
     return hi, lo
 
 
+# highest significance group (pair budget p+q <= _MAX_GROUP). 6 gives
+# 49-bit coverage (1e-12-grade end to end); 5 trades ~1.5e-12 of
+# truncation per level for ~14% fewer GEMM flops — overridable for
+# experiments via TRANSPORT_ANALYSIS_TPU_FFT_MAX_GROUP.
+_MAX_GROUP = int(os.environ.get(
+    "TRANSPORT_ANALYSIS_TPU_FFT_MAX_GROUP", _N_BANDS - 1))
+
+
 def _grouped_dots(lhs_stack, rhs_ref, k_slab):
     """One exact int8 GEMM per significance group: lhs suffix
     (length k_slab*(g+1)) x rhs prefix."""
@@ -241,7 +250,7 @@ def _grouped_dots(lhs_stack, rhs_ref, k_slab):
             rhs_ref[: k_slab * (g + 1)],
             preferred_element_type=jnp.int32,
         )
-        for g in range(_N_BANDS)
+        for g in range(_MAX_GROUP + 1)
     ]
 
 
@@ -350,11 +359,6 @@ def _banded_level(lre, lim, pair, scale, out_rows: int,
         interpret=_interpret(),
     )(lre, lim, rh, rl, ih, il, scale)
     return outs[:4], outs[4]
-
-
-def _colmax_reduce(cm_flat, n_steps: int, w: int):
-    """(1, n_steps*W) per-tile maxima -> (1, W) per-series-column."""
-    return jnp.max(cm_flat.reshape(n_steps, w), axis=0, keepdims=True)
 
 
 # ---------------------------------------------------------------------
