@@ -108,3 +108,21 @@ def test_msd_atom_chunk_parity(u_random):
                     rtol=1e-12)
     assert_allclose(b.results.msds_by_particle,
                     a.results.msds_by_particle, rtol=1e-12)
+
+
+def test_einstein_fft_precomputed_corr():
+    """The advanced corr= path (batched correlation passes) must match
+    the self-computed path exactly when fed the same centered data."""
+    import jax.numpy as jnp
+
+    from transport_analysis_tpu import ops
+
+    rng = np.random.default_rng(7)
+    a = rng.normal(size=(256, 8, 3)) + rng.uniform(-5, 5, (1, 8, 3))
+    want = np.asarray(ops.einstein_difference_fft(a, "mean"))
+    a_c = jnp.asarray(a) - jnp.mean(jnp.asarray(a), axis=0,
+                                    keepdims=True)
+    corr = ops.acf.raw_autocorr_sumlast(a_c)
+    got = np.asarray(ops.einstein_difference_fft(a_c, "mean",
+                                                 corr=corr))
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)

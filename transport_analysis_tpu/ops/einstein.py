@@ -116,7 +116,8 @@ def _prefix_sum_blocked(x: jax.Array) -> jax.Array:
 
 
 @partial(jax.jit, static_argnames=("reduce_mode",))
-def _einstein_fft_impl(a: jax.Array, reduce_mode: str) -> jax.Array:
+def _einstein_fft_impl(a: jax.Array, reduce_mode: str,
+                       corr=None) -> jax.Array:
     N, P, d = a.shape
 
     # (a[i+lag] - a[i])² is invariant under a → a - c per series, but
@@ -124,12 +125,14 @@ def _einstein_fft_impl(a: jax.Array, reduce_mode: str) -> jax.Array:
     # catastrophically at small lags when the series carries a large
     # mean offset (positions routinely do). Center each (particle,
     # component) series first: zero-mean data makes the cancellation
-    # benign in f32 and tightens f64 by orders of magnitude.
-    a = a - jnp.mean(a, axis=0, keepdims=True)
+    # benign in f32 and tightens f64 by orders of magnitude. (When the
+    # caller supplies ``corr`` it must come from data centered the
+    # same way — see einstein_difference_fft.)
+    if corr is None:
+        a = a - jnp.mean(a, axis=0, keepdims=True)
 
-    # C(lag, p) = sum_i sum_d a[i]·a[i+lag]   (raw, unnormalized;
-    # component sum taken in the frequency domain — d× less inverse)
-    corr = raw_autocorr_sumlast(a)  # (N, P)
+        # C(lag, p) = sum_i sum_d a[i]·a[i+lag]  (raw, unnormalized)
+        corr = raw_autocorr_sumlast(a)  # (N, P)
 
     # prefix sums of |a_i|² over components
     sq = jnp.sum(a * a, axis=-1)  # (N, P)
@@ -154,12 +157,23 @@ def _einstein_fft_impl(a: jax.Array, reduce_mode: str) -> jax.Array:
     return out.at[0].set(0.0)
 
 
-def einstein_difference_fft(a, reduce_mode: str = "mean") -> jax.Array:
-    """FFT-accelerated mean-squared lag difference, (N, P, d) → (N, P)."""
+def einstein_difference_fft(a, reduce_mode: str = "mean",
+                            corr=None) -> jax.Array:
+    """FFT-accelerated mean-squared lag difference, (N, P, d) → (N, P).
+
+    Advanced: ``corr`` supplies a precomputed raw component-summed
+    autocorrelation of ``a`` — in that case ``a`` MUST already be
+    per-series centered (``a - a.mean(axis=0)``), since the Kneller/
+    Calandrini identity needs corr and the prefix sums to agree. This
+    lets callers batch several analyses' correlation passes into ONE
+    ``raw_autocorr_sumlast`` call over concatenated particle columns
+    (autocorrelation is per-series independent), halving the
+    device-program boundary costs of running e.g. VACF + Helfand
+    together (see bench.py)."""
     a = jnp.asarray(a)
     if a.ndim == 2:
         a = a[:, :, None]
-    return _einstein_fft_impl(a, reduce_mode)
+    return _einstein_fft_impl(a, reduce_mode, corr)
 
 
 def msd_fft(r) -> jax.Array:
