@@ -5,9 +5,9 @@ on TPU but executes as ~1,800 XLA ops at the benchmark shape, and this
 backend's per-op floor (~30-100 us, trace-verified, BENCH_NOTES round
 3) makes the float64 path op-count-bound: ~46 ms where the arithmetic
 is worth ~5. This module computes the same Wiener-Khinchin raw
-autocorrelation as FOUR fused Pallas kernels (forward levels 1-2,
-inverse levels A-B) plus one small XLA unpack stage, so the whole
-pipeline is a few dozen device ops instead.
+autocorrelation as FOUR fused Pallas kernels — forward levels 1-2 and
+inverse levels A-B, with the Hermitian unpack + power spectrum fused
+into inverse A — so the whole pipeline is a few dozen device ops.
 
 Numerical scheme (Ozaki-style exact banded arithmetic, as in
 ops/ozaki.py, re-cut for in-kernel use):
@@ -40,33 +40,38 @@ Twiddle folding. The four-step factorization's twiddles are folded
 into the LEVEL MATRICES, which become per-grid-step constants: forward
 level 1 at batch column j2 applies diag(W_M^(k1 j2)) . DFT_128, and
 inverse level B at j2 applies IDFT_128-rows . diag(W_M^(-k1 j2)). The
-matrices are sliced to int8 bands IN FULL FLOAT64 ON THE HOST at trace
-time, so the twiddle multiply costs zero device work and zero accuracy
-(it rides the same 49-bit band budget as the DFT matrix). The kernels
-therefore contain NO transcendentals and NO double-float multiplies —
-only rint/pow2 slicing, int8 dots, and f32 adds.
+matrices are expanded ON DEVICE from tiny exact host trig tables and
+sliced to int8 bands in float64-pair arithmetic at first use, so the
+twiddle multiply costs zero per-call device work and no accuracy (it
+rides the same 49-bit band budget as the DFT matrix). Apart from the
+fused unpack's double-float squares, the kernels contain NO
+transcendentals — only rint/pow2 slicing, int8 dots, and f32 adds.
 
-Dynamic range. Each kernel also emits the per-series-column max |.| of
-its output, accumulated across grid steps into a (1, W) side output;
-the next stage divides by the power-of-two ceiling of that max before
-slicing, so band coverage tracks the data's ACTUAL magnitude rather
-than the worst-case DFT growth bound (static grids lose ~8-17 bits on
-realistic spectra and would miss the 1e-11 accuracy contract). All
-scales are exact powers of two and are undone once in the epilogue.
+Dynamic range. Every level normalizes PER GEMM COLUMN with an exact
+power-of-two scale (divided out before slicing, multiplied back after
+the merge), so band coverage tracks each spectral column's own
+magnitude: per-series scales or worst-case growth bounds lose 10-17
+bits on DC-heavy data (measured 1e-8/1e-11 vs 1e-12). Scales come
+from the input, from kernels' per-column colmax side outputs, or from
+cheap f32 XLA reduces over an intermediate — and are built by
+exponent-field BIT MANIPULATION: this backend's f32 jnp.exp2 is a
+polynomial approximation that is inexact for large arguments, and a
+non-pow2 "scale" silently breaks the exactness of pair arithmetic.
 
-Layout. No transposes are ever materialized: the four-step's data
-movement lives in the BlockSpecs. With intermediates shaped
-(128, n2, W), levels alternate between contracting axis 0 in
-(128, 1, W_TILE) blocks (forward L1, inverse B — per-step lhs) and
-contracting axis 1 in (1, n2, W_TILE) blocks (forward L2, inverse A —
-shared lhs). Hermitian unpack + power spectrum stays in XLA (~10 fused
-ops; gather-bound).
+Layout. Intermediates are (rows, flat (step, w) columns) float32
+pairs; data blocks are plain 2D (K, W_TILE) tiles, and the four-step's
+inter-level relayout rides transposed 3D OUTPUT BlockSpecs
+((1, rows, W_TILE) blocks of a (steps, rows, w) array) instead of XLA
+transposes. Wrapper post-processing (packing, component sums) also
+stays in the pair domain: emulated-float64 relayouts cost ~1-3 ms per
+100 MB here (see raw_autocorr_pallas_pair).
 
-Supported: M = 128 * n2 for n2 in {32, 64, 128, 256} (int8 sublane
-tiling needs n2 >= 32; VMEM budget caps n2 <= 256), series count
-padded to a multiple of 2*W_TILE columns. Other shapes fall back to
-ops/fft.py. Reference contract: tidynamics.acf float64 semantics
-(reference velocityautocorr.py:208; tests pin 1e-11-grade agreement).
+Supported: M = 128 * n2 for n2 in {32 .. 512} (int8 sublane tiling
+needs n2 >= 32; dense DFT_n2 flops and VMEM cap n2 at 512 with the
+96 MB vmem limit the kernels request), series count >= 2*W_TILE.
+Other shapes fall back to ops/fft.py. Reference contract:
+tidynamics.acf float64 semantics (reference velocityautocorr.py:208;
+tests pin 1e-11-grade agreement; bench measures ~1e-12).
 """
 
 from __future__ import annotations
@@ -97,7 +102,7 @@ def _interpret() -> bool:
 
 
 # ---------------------------------------------------------------------
-# host-side constant preparation (numpy, full float64)
+# constant preparation (device expansion of exact host trig tables)
 # ---------------------------------------------------------------------
 
 def _slice_bands_dev(x):
