@@ -148,7 +148,10 @@ def raw_autocorr_sumlast(x: jax.Array) -> jax.Array:
                 e = (sh - (s2 - bv)) + (hi[..., c] - bv)  # TwoSum
                 sh = s2
                 sl = sl + e + lo[..., c]
-            return sh.astype(jnp.float64) + sl.astype(jnp.float64)
+            if x.dtype == jnp.float64:
+                return (sh.astype(jnp.float64)
+                        + sl.astype(jnp.float64))
+            return sh + sl
     raw = raw_autocorr(x.reshape(N, P * d)).reshape(N, P, d)
     return jnp.sum(raw, axis=-1)
 

@@ -89,7 +89,7 @@ from jax.experimental.pallas import tpu as pltpu
 _DELTA = 7
 _N_BANDS = 7            # 49-bit coverage below each stage's column max
 _N1 = 128               # level-1 / inverse-level-B DFT size (MXU tile)
-_W_TILE = 256           # batch columns per grid step
+_W_TILE = int(os.environ.get('TRANSPORT_ANALYSIS_TPU_FFT_W_TILE', 256))  # batch columns per grid step
 _HI_BANDS = 3           # bands taken from `hi` before folding in `lo`
 
 _Z0 = np.int32(0)       # index-map constant (python ints trace as i64
@@ -105,13 +105,13 @@ def _interpret() -> bool:
 # constant preparation (device expansion of exact host trig tables)
 # ---------------------------------------------------------------------
 
-def _slice_bands_dev(x):
-    """Band-slice float64 data (|x| <= 1) into _N_BANDS int8 arrays on
-    the aligned grids 2^-(7q+6). Mirrors ops/ozaki._slice_operand;
+def _slice_bands_dev(x, n_bands=_N_BANDS):
+    """Band-slice float64 data (|x| <= 1) into ``n_bands`` int8 arrays
+    on the aligned grids 2^-(7q+6). Mirrors ops/ozaki._slice_operand;
     every step is exact in the device's float64 pair arithmetic."""
     bands = []
     r = x
-    for q in range(_N_BANDS):
+    for q in range(n_bands):
         scale = 2.0 ** (_DELTA * (q + 1) - 1)
         m = jnp.rint(r * scale)
         bands.append(m.astype(jnp.int8))
@@ -119,39 +119,40 @@ def _slice_bands_dev(x):
     return bands
 
 
-def _complex_lhs_stacks_dev(c, s):
+def _complex_lhs_stacks_dev(c, s, n_bands=_N_BANDS):
     """lhs band stacks for complex matrices (c + i s) acting on rhs
     slabs [RE_q; IM_q]: re-output uses [C_p | -S_p], im-output uses
-    [S_p | C_p]; both stacked REVERSED ([p=6 | ... | p=0]) so group g
-    takes the suffix of length 2K(g+1). Last-axis concat; leading
-    batch dims pass through."""
-    cb = _slice_bands_dev(c)
-    sb = _slice_bands_dev(s)
+    [S_p | C_p]; both stacked REVERSED ([highest p | ... | p=0]) so
+    group g takes the suffix of length 2K(g+1). Last-axis concat;
+    leading batch dims pass through."""
+    cb = _slice_bands_dev(c, n_bands)
+    sb = _slice_bands_dev(s, n_bands)
     re_slabs = [jnp.concatenate([cb[p], -sb[p]], axis=-1)
-                for p in range(_N_BANDS)]
+                for p in range(n_bands)]
     im_slabs = [jnp.concatenate([sb[p], cb[p]], axis=-1)
-                for p in range(_N_BANDS)]
+                for p in range(n_bands)]
     return (jnp.concatenate(list(reversed(re_slabs)), axis=-1),
             jnp.concatenate(list(reversed(im_slabs)), axis=-1))
 
 
-@functools.partial(jax.jit, static_argnames=("n2", "j1_out"))
+@functools.partial(jax.jit,
+                   static_argnames=("n2", "j1_out", "n_bands"))
 def _build_constants(d1c, d1s, d2c, d2s, twc, tws, e1c, e1s,
-                     n2: int, j1_out: int):
+                     n2: int, j1_out: int, n_bands: int):
     """Expand tiny exact host trig tables into the banded int8 level
     matrices ON DEVICE (the expanded stacks are ~120 MB at n2=128;
     embedding them as HLO literals or shipping them through the host
     tunnel is far worse than a one-time device build)."""
     out = {}
     out["l2_re"], out["l2_im"] = (
-        x[None] for x in _complex_lhs_stacks_dev(d2c, d2s))
+        x[None] for x in _complex_lhs_stacks_dev(d2c, d2s, n_bands))
     out["ia_re"], out["ia_im"] = (
-        x[None] for x in _complex_lhs_stacks_dev(d2c, -d2s))
+        x[None] for x in _complex_lhs_stacks_dev(d2c, -d2s, n_bands))
 
     # fwd L1 per j2: diag(tw_j2) @ DFT_128, tw = e^{-2 pi i k1 j2 / M}
     lc = twc[:, :, None] * d1c[None] - tws[:, :, None] * d1s[None]
     ls = twc[:, :, None] * d1s[None] + tws[:, :, None] * d1c[None]
-    out["l1_re"], out["l1_im"] = _complex_lhs_stacks_dev(lc, ls)
+    out["l1_re"], out["l1_im"] = _complex_lhs_stacks_dev(lc, ls, n_bands)
 
     # inv B per j2: IDFT_128 rows (no 1/M) times conj twiddle:
     # e^{+i(e1 + ang)} with ang = 2 pi k1 j2 / M
@@ -159,12 +160,13 @@ def _build_constants(d1c, d1s, d2c, d2s, twc, tws, e1c, e1s,
     angc, angs = twc, -tws   # cos(ang), sin(ang)
     bc = (e1c[None] * angc[:, None, :] - e1s[None] * angs[:, None, :])
     bs = (e1s[None] * angc[:, None, :] + e1c[None] * angs[:, None, :])
-    out["ib_re"], out["ib_im"] = _complex_lhs_stacks_dev(bc, bs)
+    out["ib_re"], out["ib_im"] = _complex_lhs_stacks_dev(bc, bs, n_bands)
     return out
 
 
-@functools.lru_cache(maxsize=4)
-def _device_constants(n2: int, j1_out: int):
+@functools.lru_cache(maxsize=8)
+def _device_constants(n2: int, j1_out: int,
+                      n_bands: int = _N_BANDS):
     """Banded int8 level matrices for M = 128*n2, twiddles folded,
     cached on device.
 
@@ -194,7 +196,7 @@ def _device_constants(n2: int, j1_out: int):
             jnp.asarray(-np.sin(theta2), f64),
             jnp.asarray(np.cos(ang), f64), jnp.asarray(-np.sin(ang), f64),
             jnp.asarray(np.cos(e1), f64), jnp.asarray(np.sin(e1), f64),
-            n2=n2, j1_out=j1_out,
+            n2=n2, j1_out=j1_out, n_bands=n_bands,
         )
     return jax.tree_util.tree_map(jax.block_until_ready, consts)
 
@@ -237,29 +239,43 @@ def _merge(groups):
     return hi, lo
 
 
-# highest significance group (pair budget p+q <= _MAX_GROUP). 6 gives
-# 49-bit coverage (1e-12-grade end to end); 5 trades ~1.5e-12 of
-# truncation per level for ~14% fewer GEMM flops — overridable for
-# experiments via TRANSPORT_ANALYSIS_TPU_FFT_MAX_GROUP.
+# highest significance group (pair budget p+q <= max_group). The f64
+# profile's 6 gives 49-bit coverage (1e-12-grade end to end); 5 trades
+# ~1.5e-12 of truncation per level for ~14% fewer GEMM flops —
+# overridable for experiments via TRANSPORT_ANALYSIS_TPU_FFT_MAX_GROUP.
 _MAX_GROUP = int(os.environ.get(
     "TRANSPORT_ANALYSIS_TPU_FFT_MAX_GROUP", _N_BANDS - 1))
 
+# precision profiles: dtype -> (n_bands, max_group). float64 carries
+# 7x7-bit bands (49 bits below each column max); float32 needs only
+# its own 24-bit grade, so 4 bands with pairs p+q <= 3 (10 of the 28
+# f64 band products) land at the advertised ~1e-6 while keeping every
+# exactness argument (band values <= 68 in int8, group sums < 2^24).
+def _profile(dtype):
+    if dtype == jnp.float64:
+        return _N_BANDS, _MAX_GROUP
+    return 4, 3
 
-def _grouped_dots(lhs_stack, rhs_ref, k_slab):
+
+def _grouped_dots(lhs_stack, rhs_ref, k_slab, n_bands=_N_BANDS,
+                  max_group=None):
     """One exact int8 GEMM per significance group: lhs suffix
     (length k_slab*(g+1)) x rhs prefix."""
-    k_total = k_slab * _N_BANDS
+    if max_group is None:
+        max_group = _MAX_GROUP
+    k_total = k_slab * n_bands
     return [
         jax.lax.dot(
             lhs_stack[:, k_total - k_slab * (g + 1):],
             rhs_ref[: k_slab * (g + 1)],
             preferred_element_type=jnp.int32,
         )
-        for g in range(_MAX_GROUP + 1)
+        for g in range(max_group + 1)
     ]
 
 
-def _level_kernel_body(transposed_out: bool, lre_ref, lim_ref, rh_ref,
+def _level_kernel_body(transposed_out: bool, n_bands: int,
+                       max_group: int, lre_ref, lim_ref, rh_ref,
                        rl_ref, ih_ref, il_ref, s_ref, orh_ref, orl_ref,
                        oih_ref, oil_ref, omax_ref, rhs_scratch):
     """One banded level on a (K, W_TILE) block of flat (step, w)
@@ -280,11 +296,13 @@ def _level_kernel_body(transposed_out: bool, lre_ref, lim_ref, rh_ref,
     k = rh.shape[0]
 
     # rhs band stack: slab q = [RE_q; IM_q] at rows [2Kq, 2K(q+1))
-    _slice_pair_into(rhs_scratch, 0, 2 * k, rh, rl)
-    _slice_pair_into(rhs_scratch, k, 2 * k, ih, il)
+    _slice_pair_into(rhs_scratch, 0, 2 * k, rh, rl, n_bands)
+    _slice_pair_into(rhs_scratch, k, 2 * k, ih, il, n_bands)
 
-    re_hi, re_lo = _merge(_grouped_dots(lre_ref[0], rhs_scratch, 2 * k))
-    im_hi, im_lo = _merge(_grouped_dots(lim_ref[0], rhs_scratch, 2 * k))
+    re_hi, re_lo = _merge(_grouped_dots(
+        lre_ref[0], rhs_scratch, 2 * k, n_bands, max_group))
+    im_hi, im_lo = _merge(_grouped_dots(
+        lim_ref[0], rhs_scratch, 2 * k, n_bands, max_group))
     re_hi, re_lo, im_hi, im_lo = (
         re_hi * s, re_lo * s, im_hi * s, im_lo * s)
 
@@ -305,7 +323,8 @@ def _level_kernel_body(transposed_out: bool, lre_ref, lim_ref, rh_ref,
 
 def _banded_level(lre, lim, pair, scale, out_rows: int,
                   per_step_lhs: bool, n_w: int,
-                  transposed_out: bool = False):
+                  transposed_out: bool = False,
+                  n_bands: int = _N_BANDS, max_group: int = None):
     """Run one banded level over a (K, n_steps*W) double-float complex
     intermediate (columns flat (step, w), W = n_w * _W_TILE per step).
 
@@ -346,9 +365,12 @@ def _banded_level(lre, lim, pair, scale, out_rows: int,
                             memory_space=pltpu.VMEM)
     scale_spec = max_spec
 
+    if max_group is None:
+        max_group = _MAX_GROUP
     f32 = jnp.float32
     outs = pl.pallas_call(
-        functools.partial(_level_kernel_body, transposed_out),
+        functools.partial(_level_kernel_body, transposed_out, n_bands,
+                          max_group),
         grid=(n_tiles,),
         in_specs=[lhs_spec, lhs_spec, data_spec, data_spec, data_spec,
                   data_spec, scale_spec],
@@ -358,7 +380,7 @@ def _banded_level(lre, lim, pair, scale, out_rows: int,
             + (jax.ShapeDtypeStruct((1, cols), f32),)
         ),
         scratch_shapes=[
-            pltpu.VMEM((2 * k * _N_BANDS, _W_TILE), jnp.int8)],
+            pltpu.VMEM((2 * k * n_bands, _W_TILE), jnp.int8)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024),
         interpret=_interpret(),
@@ -391,7 +413,8 @@ def _half(h, l):
     return h * np.float32(0.5), l * np.float32(0.5)
 
 
-def _inva_kernel_body(n_w: int, lre_ref, lim_ref,
+def _inva_kernel_body(n_w: int, n_bands: int, max_group: int,
+                      lre_ref, lim_ref,
                       zrh_ref, zrl_ref, zih_ref, zil_ref,
                       frh_ref, frl_ref, fih_ref, fil_ref,
                       r0rh_ref, r0rl_ref, r0ih_ref, r0il_ref,
@@ -437,20 +460,27 @@ def _inva_kernel_body(n_w: int, lre_ref, lim_ref,
     # pushes the truncation to 2^-56 * bound; it pairs only with the
     # lhs's leading band (one extra small GEMM, group ulp 2^-(7*7+12)).
     k = zrh.shape[0]
-    _slice_pair_into(rhs_scratch, 0, 2 * k, *p1, n_bands=_N_BANDS + 1)
-    _slice_pair_into(rhs_scratch, k, 2 * k, *p2, n_bands=_N_BANDS + 1)
+    _slice_pair_into(rhs_scratch, 0, 2 * k, *p1, n_bands=n_bands + 1)
+    _slice_pair_into(rhs_scratch, k, 2 * k, *p2, n_bands=n_bands + 1)
 
-    def dots8(lhs_stack):
-        groups = _grouped_dots(lhs_stack, rhs_scratch, 2 * k)
+    def dots_extra(lhs_stack):
+        groups = _grouped_dots(lhs_stack, rhs_scratch, 2 * k, n_bands,
+                               max_group)
+        # _merge scales by LIST POSITION; the extra (p=0, q=n_bands)
+        # product carries grid ulp 2^-(7*n_bands+12), so it must sit at
+        # position n_bands (zero-filled gap when max_group + 1 < n_bands,
+        # e.g. under the TRANSPORT_ANALYSIS_TPU_FFT_MAX_GROUP override)
+        for _ in range(max_group + 1, n_bands):
+            groups.append(jnp.zeros_like(groups[0]))
         groups.append(jax.lax.dot(
             lhs_stack[:, -2 * k:],
-            rhs_scratch[_N_BANDS * 2 * k: (_N_BANDS + 1) * 2 * k],
+            rhs_scratch[n_bands * 2 * k: (n_bands + 1) * 2 * k],
             preferred_element_type=jnp.int32,
         ))
         return groups
 
-    re_hi, re_lo = _merge(dots8(lre_ref[0]))
-    im_hi, im_lo = _merge(dots8(lim_ref[0]))
+    re_hi, re_lo = _merge(dots_extra(lre_ref[0]))
+    im_hi, im_lo = _merge(dots_extra(lim_ref[0]))
     re_hi, re_lo, im_hi, im_lo = (
         re_hi * s, re_lo * s, im_hi * s, im_lo * s)
 
@@ -463,7 +493,8 @@ def _inva_kernel_body(n_w: int, lre_ref, lim_ref,
         axis=0, keepdims=True)
 
 
-def _inva_fused(lre, lim, pair, scale, n2: int, n_w: int):
+def _inva_fused(lre, lim, pair, scale, n2: int, n_w: int,
+                n_bands: int = _N_BANDS, max_group: int = None):
     """Fused unpack + inverse level A over the Z pair laid out
     (k2, (k1, w)). Emits the relayouted (k1, j2, w) form + colmax."""
     zrh, zrl, zih, zil = pair
@@ -508,9 +539,11 @@ def _inva_fused(lre, lim, pair, scale, n2: int, n_w: int):
     max_spec = pl.BlockSpec((1, _W_TILE), lambda t: (_Z0, t),
                             memory_space=pltpu.VMEM)
 
+    if max_group is None:
+        max_group = _MAX_GROUP
     f32 = jnp.float32
     outs = pl.pallas_call(
-        functools.partial(_inva_kernel_body, n_w),
+        functools.partial(_inva_kernel_body, n_w, n_bands, max_group),
         grid=(n_tiles,),
         in_specs=[lhs_spec, lhs_spec] + [data_spec] * 4
         + [mirror_spec] * 4 + [r0_spec] * 4 + [scale_spec],
@@ -520,7 +553,7 @@ def _inva_fused(lre, lim, pair, scale, n2: int, n_w: int):
             + (jax.ShapeDtypeStruct((1, cols), f32),)
         ),
         scratch_shapes=[
-            pltpu.VMEM((2 * n2 * (_N_BANDS + 1), _W_TILE), jnp.int8)],
+            pltpu.VMEM((2 * n2 * (n_bands + 1), _W_TILE), jnp.int8)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024),
         interpret=_interpret(),
@@ -549,9 +582,14 @@ def _pow2_ceil_f32(m):
     return jnp.where(m32 <= 0, jnp.float32(1.0), out)
 
 
-def _split_pair(x64):
-    hi = x64.astype(jnp.float32)
-    lo = (x64 - hi.astype(jnp.float64)).astype(jnp.float32)
+def _split_pair(x):
+    """Exact double-float split; float32 inputs get a zero tail (the
+    pair machinery then runs unchanged at the lighter band profile)."""
+    hi = x.astype(jnp.float32)
+    if x.dtype == jnp.float64:
+        lo = (x - hi.astype(jnp.float64)).astype(jnp.float32)
+    else:
+        lo = jnp.zeros_like(hi)
     return hi, lo
 
 
@@ -572,13 +610,19 @@ def raw_autocorr_pallas(x, n_out: int):
     """Raw linear autocorrelation per column via the fused banded FFT.
 
     Contract identical to ops.fft.raw_autocorr_matmul: ``x`` (M, S)
-    float64, zero-padded to M >= 2*series_length, M = 128*n2; returns
-    (n_out, S) float64 with out[lag, s] = sum_i x[i,s] x[i+lag,s].
+    float64 or float32, zero-padded to M >= 2*series_length,
+    M = 128*n2; returns (n_out, S) in x's dtype with
+    out[lag, s] = sum_i x[i,s] x[i+lag,s]. float32 inputs run the
+    4-band profile (~1e-6 grade, ~36% of the f64 GEMM flops).
     """
     s = x.shape[1]
     gr_hi, gr_lo, gi_hi, gi_lo = raw_autocorr_pallas_pair(x, n_out)
-    gr = gr_hi.astype(jnp.float64) + gr_lo.astype(jnp.float64)
-    gi = gi_hi.astype(jnp.float64) + gi_lo.astype(jnp.float64)
+    if x.dtype == jnp.float64:
+        gr = gr_hi.astype(jnp.float64) + gr_lo.astype(jnp.float64)
+        gi = gi_hi.astype(jnp.float64) + gi_lo.astype(jnp.float64)
+    else:
+        gr = gr_hi + gr_lo
+        gi = gi_hi + gi_lo
     return jnp.concatenate([gr, gi], axis=1)[:, :s]
 
 
@@ -596,12 +640,16 @@ def raw_autocorr_pallas_pair(x, n_out: int):
     m = x.shape[0]
     n2 = m // _N1
     j1_out = max(1, -(-n_out // n2))
-    consts = _device_constants(n2, j1_out)
-    return _raw_autocorr_impl(x, consts, n_out)
+    n_bands, max_group = _profile(x.dtype)
+    consts = _device_constants(n2, j1_out, n_bands)
+    return _raw_autocorr_impl(x, consts, n_out, n_bands, max_group)
 
 
-@functools.partial(jax.jit, static_argnames=("n_out",))
-def _raw_autocorr_impl(x, consts, n_out: int):
+@functools.partial(
+    jax.jit, static_argnames=("n_out", "n_bands", "max_group"))
+def _raw_autocorr_impl(x, consts, n_out: int,
+                       n_bands: int = _N_BANDS,
+                       max_group: int = None):
     m, s = x.shape
     n2 = m // _N1
     j1_out = max(1, -(-n_out // n2))
@@ -639,7 +687,8 @@ def _raw_autocorr_impl(x, consts, n_out: int):
     # forward level 1 (contract j1 per j2, twiddle folded), writing the
     # relayouted (j2, k1, w) form directly: (j1, (j2, w)) -> (j2, k1, w)
     pair, _ = _banded_level(consts["l1_re"], consts["l1_im"], pair,
-                            s_in, _N1, True, n_w, transposed_out=True)
+                            s_in, _N1, True, n_w, transposed_out=True,
+                            n_bands=n_bands, max_group=max_group)
     # K2 needs max over j2 per (k1, w): reduce the 3D intermediate
     s1 = _pow2_ceil_f32(jnp.max(
         jnp.maximum(jnp.abs(pair[0]), jnp.abs(pair[2])),
@@ -647,7 +696,8 @@ def _raw_autocorr_impl(x, consts, n_out: int):
     # forward level 2 (contract j2 per k1): (j2, (k1, w)) -> (k2, (k1, w))
     pair = tuple(a.reshape(n2, _N1 * w) for a in pair)
     pair, cm2 = _banded_level(consts["l2_re"], consts["l2_im"], pair,
-                              s1, n2, False, n_w)
+                              s1, n2, False, n_w,
+                              n_bands=n_bands, max_group=max_group)
 
     # inverse level A with the Hermitian unpack + power spectrum fused
     # in-kernel (the only XLA prep left is the k2-flip). The per-column
@@ -659,7 +709,8 @@ def _raw_autocorr_impl(x, consts, n_out: int):
         cm2m, jnp.roll(jnp.flip(cm2m, axis=0), 1, axis=0))
     sz2 = 2.0 * _pow2_ceil_f32(cm2m.reshape(1, _N1 * w)) ** 2
     pair, _ = _inva_fused(consts["ia_re"], consts["ia_im"], pair,
-                          sz2, n2, n_w)
+                          sz2, n2, n_w,
+                          n_bands=n_bands, max_group=max_group)
     # invB needs max over k1 per (j2, w): reduce the 3D intermediate
     s3 = _pow2_ceil_f32(jnp.max(
         jnp.maximum(jnp.abs(pair[0]), jnp.abs(pair[2])),
@@ -668,7 +719,8 @@ def _raw_autocorr_impl(x, consts, n_out: int):
     #   (k1, (j2, w)) -> (j1, (j2, w))
     pair = tuple(a.reshape(_N1, n2 * w) for a in pair)
     pair, _ = _banded_level(consts["ib_re"], consts["ib_im"], pair,
-                            s3, j1_out, True, n_w)
+                            s3, j1_out, True, n_w,
+                            n_bands=n_bands, max_group=max_group)
 
     # epilogue: values are in true units; the inverse transform's 1/M
     # is an exact power-of-two scale applied to the f32 pair. Output
