@@ -162,3 +162,25 @@ def test_pallas_fft_dispatch_in_acf():
     # tight bound on the first half and a physical bound on the tail.
     assert err[: len(err) // 2].max() < 1e-11
     assert err.max() < 2e-9
+
+
+def test_pallas_fft_float32_profile():
+    """raw_autocorr_pallas accepts float32 (4-band profile). Not the
+    default dispatch (the XLA f32 path is faster — BENCH_NOTES), but
+    the public API must stay correct at its ~1e-6 grade."""
+    import jax.numpy as jnp
+    from transport_analysis_tpu.ops import pallas_fft as PF
+
+    if not PF.supported(4096, 512):
+        pytest.skip("pallas_fft unsupported on this backend")
+    rng = np.random.RandomState(5)
+    m, s, n = 4096, 512, 2048
+    x = np.zeros((m, s), np.float32)
+    x[:n] = (rng.normal(0, 5, (n, s))
+             + rng.uniform(-20, 20, (1, s))).astype(np.float32)
+    got = np.asarray(PF.raw_autocorr_pallas(jnp.asarray(x), n))
+    assert got.dtype == np.float32
+    f = np.fft.rfft(x.astype(np.float64), axis=0)
+    want = np.fft.irfft(np.abs(f) ** 2, n=m, axis=0)[:n]
+    rel = np.max(np.abs(got - want)) / np.max(np.abs(want))
+    assert rel < 1e-5
