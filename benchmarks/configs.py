@@ -116,8 +116,8 @@ def main():
     # 5: streaming smoke (full run: benchmarks/northstar.py)
     results.append({
         "config": "5 streaming 100k-atom scale",
-        "see": "benchmarks/northstar.py (5.88e11 lags/s sustained, "
-               "183 s for 100,352 atoms x 32,768 frames)",
+        "see": "benchmarks/northstar.py (1.65e12 lags/s sustained, "
+               "65.3 s for 100,352 atoms x 32,768 frames)",
     })
 
     for r in results:

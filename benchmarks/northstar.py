@@ -60,6 +60,16 @@ VOL = 8000.0
 
 
 def _analyze(vel, pos, masses):
+    """Per-chunk VACF + Helfand sums.
+
+    Called EAGERLY (each op is internally jitted): wrapping this in an
+    outer jit would embed the Pallas engine's banded level matrices as
+    program literals — ~350 MB at the n2 = 512 shape this demo uses —
+    which this box's tunneled remote-compile rejects (HTTP 413) and
+    any backend would recompile per shape. Eager composition keeps the
+    constants as runtime arguments; the few extra dispatches are noise
+    against a multi-hundred-ms chunk.
+    """
     vacf_sum = ops.acf_fft(vel).sum(axis=1)  # (N,)
     accum = masses[None, :, None] * vel * pos
     helf_sum = ops.einstein_difference_fft(accum, "mean").sum(axis=1)
@@ -81,7 +91,7 @@ def _host_chunk(n_frames, chunk, seed):
 
 def _device_kernel(n_frames, chunk):
     @jax.jit
-    def step(key):
+    def synth(key):
         kv, kp, km = jax.random.split(key, 3)
         vel32 = 5.0 * jax.random.normal(
             kv, (n_frames, chunk, 3), jnp.float32
@@ -93,19 +103,20 @@ def _device_kernel(n_frames, chunk):
             )
         )
         masses = jax.random.uniform(km, (chunk,), jnp.float64, 1.0, 16.0)
-        return _analyze(
-            vel32.astype(jnp.float64), pos32.astype(jnp.float64), masses
-        )
+        return (vel32.astype(jnp.float64), pos32.astype(jnp.float64),
+                masses)
+
+    def step(key):
+        return _analyze(*synth(key))  # see _analyze: no outer jit
 
     return step
 
 
 def _host_kernel():
-    @jax.jit
     def step(vel32, pos32, masses):
-        return _analyze(
-            vel32.astype(jnp.float64), pos32.astype(jnp.float64), masses
-        )
+        vel = jnp.asarray(vel32).astype(jnp.float64)
+        pos = jnp.asarray(pos32).astype(jnp.float64)
+        return _analyze(vel, pos, jnp.asarray(masses))
 
     return step
 

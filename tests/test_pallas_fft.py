@@ -82,15 +82,23 @@ class TestConstants:
 
 
 class TestSupported:
-    def test_gating(self):
-        on_accel = jax.default_backend() not in ("cpu", "gpu", "cuda",
-                                                 "rocm")
-        assert PF.supported(16384, 1536) == on_accel
-        # unsupported M (not 128*pow2 in range) and narrow batches
-        assert not PF.supported(16384 + 128, 1536)
-        assert not PF.supported(2048, 1536)
-        assert not PF.supported(131072, 1536)
-        assert not PF.supported(16384, 64)
+    def test_shape_gate(self):
+        # backend-independent shape logic, incl. the n2 = 512 ceiling
+        for m in (4096, 8192, 16384, 32768, 65536):
+            assert PF.shape_supported(m, 1536), m
+        assert not PF.shape_supported(16384 + 128, 1536)
+        assert not PF.shape_supported(2048, 1536)
+        assert not PF.shape_supported(131072, 1536)
+        assert not PF.shape_supported(16384, 64)
+
+    def test_backend_gate(self):
+        # the normal suite forces the CPU backend (conftest), where the
+        # engine must never dispatch; the TPU-positive case is covered
+        # by the hardware equivalence suite
+        if jax.default_backend() == "cpu":
+            assert not PF.supported(16384, 1536)
+        else:
+            assert PF.supported(16384, 1536)
 
 
 @pytest.mark.skipif(

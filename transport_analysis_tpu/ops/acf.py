@@ -148,10 +148,7 @@ def raw_autocorr_sumlast(x: jax.Array) -> jax.Array:
                 e = (sh - (s2 - bv)) + (hi[..., c] - bv)  # TwoSum
                 sh = s2
                 sl = sl + e + lo[..., c]
-            if x.dtype == jnp.float64:
-                return (sh.astype(jnp.float64)
-                        + sl.astype(jnp.float64))
-            return sh + sl
+            return sh.astype(jnp.float64) + sl.astype(jnp.float64)
     raw = raw_autocorr(x.reshape(N, P * d)).reshape(N, P, d)
     return jnp.sum(raw, axis=-1)
 

@@ -77,6 +77,31 @@ def einstein_difference_windowed(
 _PREFIX_BLOCK = 128
 
 
+def _tri_matmul_banded(tri: jax.Array, x: jax.Array) -> jax.Array:
+    """tri @ x in float64-grade via bf16 MXU GEMMs, exploiting that
+    ``tri`` is EXACTLY 0/1: only the data operand carries mantissa
+    bands, so the product needs one GEMM per data band (7) instead of
+    the full Ozaki 28-GEMM band-pair sweep. Accumulation is exact: the
+    band values are integers m <= 65 in their grid, and summing <= 128
+    of them stays far below f32's 2^24 integer boundary (the grids are
+    powers of two, so the sums are exact f32 multiples of the grid)."""
+    from .ozaki import _two_sum, prepare_rhs
+
+    b_bands, b_exp = prepare_rhs(x)
+    tri16 = tri.astype(jnp.bfloat16)  # 0/1: exact
+    sums = [
+        jax.lax.dot(tri16, band, preferred_element_type=jnp.float32)
+        for band in b_bands
+    ]
+    hi = sums[0]
+    lo = jnp.zeros_like(hi)
+    for g in sums[1:]:
+        hi, e = _two_sum(hi, g)
+        lo = lo + e
+    out = hi.astype(jnp.float64) + lo.astype(jnp.float64)
+    return out * b_exp
+
+
 def _prefix_sum_blocked(x: jax.Array) -> jax.Array:
     """Inclusive prefix sum along axis 0 of (N, P) via MXU matmuls.
 
@@ -84,10 +109,9 @@ def _prefix_sum_blocked(x: jax.Array) -> jax.Array:
     dominates the Einstein kernel at large N; a lower-triangular
     matmul per 128-row block + a 128×-smaller cumsum of block totals
     does the same reduction on the MXU. On TPU float64 the triangular
-    matmul goes through the Ozaki banded path (the triangular matrix
-    is exactly 0/1 so only the data operand carries bands) — XLA's
-    emulated-f64 einsum here measured ~6 ms at N=8192, P=512 vs ~2 ms
-    banded.
+    matmul goes through _tri_matmul_banded (one bf16 GEMM per data
+    band — the 0/1 triangular operand needs none) — XLA's emulated-f64
+    einsum here measured ~6 ms at N=8192, P=512 vs ~1 ms banded.
     """
     from .fft import _use_ozaki
 
@@ -98,11 +122,9 @@ def _prefix_sum_blocked(x: jax.Array) -> jax.Array:
     blocks = x_pad.reshape(n_blocks, b, p)
     tri = jnp.tril(jnp.ones((b, b), x.dtype))
     if _use_ozaki(x.dtype):
-        from .ozaki import matmul_f64_ozaki
-
         wide = jnp.moveaxis(blocks, 0, 1).reshape(b, n_blocks * p)
         intra = jnp.moveaxis(
-            matmul_f64_ozaki(tri, wide).reshape(b, n_blocks, p), 1, 0)
+            _tri_matmul_banded(tri, wide).reshape(b, n_blocks, p), 1, 0)
     else:
         intra = jnp.einsum(
             "lk,bkp->blp", tri, blocks,
@@ -115,24 +137,26 @@ def _prefix_sum_blocked(x: jax.Array) -> jax.Array:
     return out.reshape(n_blocks * b, p)[:n]
 
 
+@jax.jit
+def _center(a):
+    """Per-series centering; see _einstein_fft_impl for why."""
+    return a - jnp.mean(a, axis=0, keepdims=True)
+
+
 @partial(jax.jit, static_argnames=("reduce_mode",))
 def _einstein_fft_impl(a: jax.Array, reduce_mode: str,
-                       corr=None) -> jax.Array:
+                       corr) -> jax.Array:
+    """Kneller/Calandrini assembly. ``a`` must be per-series centered
+    and ``corr`` its raw component-summed autocorrelation: the
+    identity (s_head + s_tail - 2·corr) cancels catastrophically at
+    small lags when the series carries a large mean offset (positions
+    routinely do); zero-mean data makes the cancellation benign in f32
+    and tightens f64 by orders of magnitude. The correlation is
+    computed OUTSIDE this jit: tracing the Pallas engine here would
+    embed its banded level matrices as program literals (~350 MB at
+    n2 = 512 — rejected by tunneled remote-compile backends and
+    recompiled per shape everywhere else)."""
     N, P, d = a.shape
-
-    # (a[i+lag] - a[i])² is invariant under a → a - c per series, but
-    # the identity below (s_head + s_tail - 2·corr) cancels
-    # catastrophically at small lags when the series carries a large
-    # mean offset (positions routinely do). Center each (particle,
-    # component) series first: zero-mean data makes the cancellation
-    # benign in f32 and tightens f64 by orders of magnitude. (When the
-    # caller supplies ``corr`` it must come from data centered the
-    # same way — see einstein_difference_fft.)
-    if corr is None:
-        a = a - jnp.mean(a, axis=0, keepdims=True)
-
-        # C(lag, p) = sum_i sum_d a[i]·a[i+lag]  (raw, unnormalized)
-        corr = raw_autocorr_sumlast(a)  # (N, P)
 
     # prefix sums of |a_i|² over components
     sq = jnp.sum(a * a, axis=-1)  # (N, P)
@@ -167,12 +191,17 @@ def einstein_difference_fft(a, reduce_mode: str = "mean",
     Calandrini identity needs corr and the prefix sums to agree. This
     lets callers batch several analyses' correlation passes into ONE
     ``raw_autocorr_sumlast`` call over concatenated particle columns
-    (autocorrelation is per-series independent), halving the
-    device-program boundary costs of running e.g. VACF + Helfand
-    together (see bench.py)."""
+    (autocorrelation is per-series independent). Caveat measured in
+    BENCH_NOTES: the two-for-one complex packing pairs column s with
+    column s + S/2, so batched series should have comparable
+    magnitudes or the smaller partner loses band coverage."""
     a = jnp.asarray(a)
     if a.ndim == 2:
         a = a[:, :, None]
+    if corr is None:
+        a = _center(a)
+        # C(lag, p) = sum_i sum_d a[i]·a[i+lag]  (raw, unnormalized)
+        corr = raw_autocorr_sumlast(a)
     return _einstein_fft_impl(a, reduce_mode, corr)
 
 

@@ -593,15 +593,30 @@ def _split_pair(x):
     return hi, lo
 
 
+def shape_supported(m: int, s: int) -> bool:
+    """Pure shape gate (backend-independent; see ``supported``).
+
+    n2 = 512 note: level-2 group sums there can reach 68*65*2*512*7
+    ~ 3.2e7 > 2^24, so their int32 -> f32 conversion in _merge rounds
+    (groups g >= 3 only, whose K_eff*(g+1) crosses 2^24). That
+    rounding is <= 2^-24 RELATIVE TO THE GROUP, i.e. <= ~2^-45 of the
+    result — below the band-truncation budget; group 0 (the accuracy-
+    critical one, K_eff = 1024) stays exact. Hardware-measured
+    1.7e-12 vs host f64 at M = 65536.
+    """
+    n2, rem = divmod(m, _N1)
+    return rem == 0 and n2 in (32, 64, 128, 256, 512) and s >= 2 * _W_TILE
+
+
 def supported(m: int, s: int) -> bool:
-    """Shapes this engine handles; others use ops/fft.py."""
+    """Shapes this engine handles on this backend; others use
+    ops/fft.py (CPU/GPU have native or faster paths)."""
     if jax.default_backend() in ("cpu", "gpu", "cuda", "rocm"):
         return False
-    n2, rem = divmod(m, _N1)
-    return rem == 0 and n2 in (32, 64, 128, 256) and s >= 2 * _W_TILE
+    return shape_supported(m, s)
 
 
-def _padded_w(n2: int, s: int) -> int:
+def _padded_w(s: int) -> int:
     half = (s + 1) // 2
     return -(-half // _W_TILE) * _W_TILE
 
@@ -629,7 +644,7 @@ def raw_autocorr_pallas(x, n_out: int):
 def raw_autocorr_pallas_pair(x, n_out: int):
     """Like :func:`raw_autocorr_pallas` but returns the result BEFORE
     any float64 materialization: the two packed halves (gr = padded
-    columns [0, w), gi = columns [w, 2w); w = ``_padded_w(n2, s)``) as
+    columns [0, w), gi = columns [w, 2w); w = ``_padded_w(s)``) as
     double-float (hi, lo) float32 arrays of shape (n_out, w) each.
 
     Emulated-float64 arrays on this TPU cost ~1 ms per 100 MB of
@@ -660,7 +675,7 @@ def _raw_autocorr_impl(x, consts, n_out: int,
     hi_s, lo_s = _split_pair(x)
 
     # pack two real series per complex column; pad W to the tile width
-    w = _padded_w(n2, s)
+    w = _padded_w(s)
     n_w = w // _W_TILE
 
     def pack(arr):
