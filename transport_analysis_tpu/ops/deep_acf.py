@@ -1,0 +1,199 @@
+"""Deep autocorrelation: the banded Pallas engine beyond M = 65536.
+
+The fused engine (ops/pallas_fft.py) covers transforms M = 128*n2 up
+to n2 = 512 — the twiddle-folding that makes its kernels cheap stores
+one constant matrix per inner batch column, which cannot scale to a
+third level (128^3 would need gigabytes of folded constants). This
+module composes ONE extra four-step level around the engine instead:
+
+    M = M_inner * n_outer,   M_inner in-engine, n_outer <= 256 (pow2)
+
+    x[j],  j = j1*n_outer + j2         (j1 < M_inner, j2 < n_outer)
+    T[k1, j2]  = FFT_{M_inner} over j1          (fused engine, batched)
+    T         *= W_M^{k1 j2}                    (f64 twiddle, XLA)
+    Z[k2, k1] = DFT_{n_outer} over j2           (Ozaki banded GEMMs)
+    k = k2*M_inner + k1                         (rows land k-major)
+
+which reaches M = 65536*256 = 2^24 (8.4M frames). The Hermitian
+unpack + power spectrum runs in XLA float64, and the inverse reuses
+the forward machinery via conjugation, so no new kernels exist here.
+
+Composition is EAGER (each stage is its own jit): tracing the engine
+inside an outer jit embeds its banded constants as program literals
+(~350 MB at n2 = 512 — see ops/pallas_fft.py), and the stages at
+M ~ 2^21 move multi-GB arrays whose buffers should be freed between
+stages rather than held by one giant program.
+
+Replaces the pure-XLA matmul-FFT path for these sizes: at the
+BENCH_NOTES "1M-frame axis" demo shape the XLA path measures 12.7 s;
+this composition is an order of magnitude faster (see BENCH_NOTES
+round 3).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from . import pallas_fft as _pf
+
+_MAX_OUTER = 256
+# 128-column tiles keep the single-shot inner transform at M = 65536,
+# B = outer*w inside HBM (wt = 256 peaks ~16.3 GB at the 1M-frame
+# demo shape — 0.5 GB over this chip)
+_DEEP_WT = 128
+
+
+def supported(m: int, s: int) -> bool:
+    """Deep-composition eligibility (engine-ineligible M only)."""
+    if jax.default_backend() in ("cpu", "gpu", "cuda", "rocm"):
+        return False
+    if s < 2 or m & (m - 1):
+        return False
+    inner, outer = _split_m(m)
+    return inner is not None
+
+
+def _split_m(m: int):
+    """Largest in-engine inner length whose cofactor is <= _MAX_OUTER."""
+    for inner in (65536, 32768, 16384):
+        if m % inner == 0 and _pf.shape_supported(inner, 2 * _pf._W_TILE):
+            outer = m // inner
+            if 2 <= outer <= _MAX_OUTER:
+                return inner, outer
+    return None, None
+
+
+@functools.lru_cache(maxsize=4)
+def _outer_tables(inner: int, outer: int):
+    """Host-exact f64 twiddle tables W_M^(k1 j2) and the outer DFT /
+    conjugate-DFT matrices (tiny: outer <= 256)."""
+    mm = inner * outer
+    k1 = np.arange(inner)[:, None]
+    j2 = np.arange(outer)[None, :]
+    ang = 2.0 * np.pi * (k1 * j2 % mm) / mm
+    jj = np.arange(outer)
+    th = 2.0 * np.pi * np.outer(jj, jj) / outer
+    return {
+        "twc": jnp.asarray(np.cos(ang)),
+        "tws": jnp.asarray(-np.sin(ang)),
+        "dc": jnp.asarray(np.cos(th)),
+        "ds": jnp.asarray(-np.sin(th)),
+    }
+
+
+def _to_pairs(re64, im64):
+    hi_r, lo_r = _pf._split_pair(re64)
+    hi_i, lo_i = _pf._split_pair(im64)
+    return hi_r, lo_r, hi_i, lo_i
+
+
+@jax.jit
+def _from_pairs(pair):
+    re = pair[0].astype(jnp.float64) + pair[1].astype(jnp.float64)
+    im = pair[2].astype(jnp.float64) + pair[3].astype(jnp.float64)
+    return re, im
+
+
+_K1_SLAB = 8192  # k1 rows per sequential slab in the outer stage
+
+
+@functools.partial(jax.jit, static_argnames=("inner", "outer", "w"))
+def _twiddle_and_outer(re, im, twc, tws, dc, ds,
+                       inner: int, outer: int, w: int):
+    """(T * W_M^{k1 j2}) then DFT_{n_outer} over j2, in float64 with
+    the Ozaki banded complex product (the contraction is tiny).
+
+    Runs as a lax.map over k1 slabs: columns are independent, and the
+    banded product's full rhs band stack at inner*w ~ 8M columns would
+    otherwise materialize ~7 GB of bf16 bands (plus f64 temps — a
+    hardware-measured 36 GB peak). Sequential slabs bound the live set
+    while keeping ONE dispatched program."""
+    from .ozaki import complex_dft_matmul
+
+    n_slab = max(1, inner // _K1_SLAB)
+    re = re.reshape(n_slab, _K1_SLAB, outer, w)
+    im = im.reshape(n_slab, _K1_SLAB, outer, w)
+    twc = twc.reshape(n_slab, _K1_SLAB, outer, 1)
+    tws = tws.reshape(n_slab, _K1_SLAB, outer, 1)
+
+    def slab(args):
+        r, i, tc, ts = args
+        tr = r * tc - i * ts
+        ti = r * ts + i * tc
+        tr = jnp.moveaxis(tr, 1, 0).reshape(outer, _K1_SLAB * w)
+        ti = jnp.moveaxis(ti, 1, 0).reshape(outer, _K1_SLAB * w)
+        return complex_dft_matmul(dc, ds, tr, ti)
+
+    zr, zi = jax.lax.map(slab, (re, im, twc, tws))
+    # (n_slab, outer, slab*w) -> rows k2, cols (k1, w) -> k-major rows
+    zr = jnp.moveaxis(zr, 0, 1).reshape(outer * inner, w)
+    zi = jnp.moveaxis(zi, 0, 1).reshape(outer * inner, w)
+    return zr, zi
+
+
+def _deep_fft_fwd(re64, im64, inner: int, outer: int):
+    """Forward FFT of (M, w) complex float64 via engine + outer level;
+    natural frequency order out, float64 in/out."""
+    m, w = re64.shape
+    t = _outer_tables(inner, outer)
+    # inner transforms over j1 for every (j2, w) column
+    pair = _to_pairs(re64.reshape(inner, outer * w),
+                     im64.reshape(inner, outer * w))
+    pair = _pf.fft_banded_pair(pair, wt=_DEEP_WT)
+    tre, tim = _from_pairs(pair)
+    return _twiddle_and_outer(tre, tim, t["twc"], t["tws"], t["dc"],
+                              t["ds"], inner, outer, w)
+
+
+@jax.jit
+def _unpack_power(zr, zi):
+    """Hermitian two-for-one unpack + power spectra (float64, natural
+    frequency order — same algebra as ops/fft._autocorr_packed),
+    column-chunked with lax.map to bound the ~6 M-row f64 temporaries."""
+    m, w = zr.shape
+    n_c = max(1, w // 32)
+    zr = jnp.moveaxis(zr.reshape(m, n_c, w // n_c), 1, 0)
+    zi = jnp.moveaxis(zi.reshape(m, n_c, w // n_c), 1, 0)
+
+    def slab(args):
+        r, i = args
+        r_rev = jnp.roll(jnp.flip(r, axis=0), 1, axis=0)
+        i_rev = jnp.roll(jnp.flip(i, axis=0), 1, axis=0)
+        f1r = 0.5 * (r + r_rev)
+        f1i = 0.5 * (i - i_rev)
+        f2r = 0.5 * (i + i_rev)
+        f2i = 0.5 * (r_rev - r)
+        return f1r * f1r + f1i * f1i, f2r * f2r + f2i * f2i
+
+    p1, p2 = jax.lax.map(slab, (zr, zi))
+    p1 = jnp.moveaxis(p1, 0, 1).reshape(m, w)
+    p2 = jnp.moveaxis(p2, 0, 1).reshape(m, w)
+    return p1, p2
+
+
+def raw_autocorr_deep(x, n_out: int):
+    """Raw linear autocorrelation per column for engine-ineligible
+    lengths. Contract identical to pallas_fft.raw_autocorr_pallas:
+    ``x`` (M, S) float64 zero-padded to M >= 2*series_length."""
+    m, s = x.shape
+    inner, outer = _split_m(m)
+
+    half = (s + 1) // 2
+    w = -(-half // _DEEP_WT) * _DEEP_WT
+    x = jnp.pad(x, ((0, 0), (0, 2 * w - s)))
+    re64 = x[:, :w]
+    im64 = x[:, w:]
+
+    zr, zi = _deep_fft_fwd(re64, im64, inner, outer)
+    p1, p2 = _unpack_power(zr, zi)
+    # inverse of (p1 + i p2) by conjugation through the forward path
+    gr, gi = _deep_fft_fwd(p1, -p2, inner, outer)
+    inv_m = 1.0 / m
+    gr = gr[:n_out] * inv_m
+    gi = gi[:n_out] * (-inv_m)
+    return jnp.concatenate([gr, gi], axis=1)[:, :s]

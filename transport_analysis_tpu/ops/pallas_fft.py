@@ -324,9 +324,10 @@ def _level_kernel_body(transposed_out: bool, n_bands: int,
 def _banded_level(lre, lim, pair, scale, out_rows: int,
                   per_step_lhs: bool, n_w: int,
                   transposed_out: bool = False,
-                  n_bands: int = _N_BANDS, max_group: int = None):
+                  n_bands: int = _N_BANDS, max_group: int = None,
+                  wt: int = None):
     """Run one banded level over a (K, n_steps*W) double-float complex
-    intermediate (columns flat (step, w), W = n_w * _W_TILE per step).
+    intermediate (columns flat (step, w), W = n_w * wt per step).
 
     ``pair`` = (re_hi, re_lo, im_hi, im_lo); ``scale`` = (1, n_steps*W)
     power-of-two scale per flat GEMM column, divided out before slicing
@@ -336,9 +337,11 @@ def _banded_level(lre, lim, pair, scale, out_rows: int,
     (n_steps, out_rows, w) form the NEXT level consumes as a plain
     reshape view, eliminating XLA transposes.
     """
+    if wt is None:
+        wt = _W_TILE
     rh, rl, ih, il = pair
     k, cols = rh.shape
-    n_tiles = cols // _W_TILE
+    n_tiles = cols // wt
     n_steps = n_tiles // n_w
 
     if per_step_lhs:
@@ -348,20 +351,20 @@ def _banded_level(lre, lim, pair, scale, out_rows: int,
         lhs_idx = lambda t: (_Z0, _Z0, _Z0)          # noqa: E731
     lhs_spec = pl.BlockSpec(
         (1,) + lre.shape[1:], lhs_idx, memory_space=pltpu.VMEM)
-    data_spec = pl.BlockSpec((k, _W_TILE), lambda t: (_Z0, t),
+    data_spec = pl.BlockSpec((k, wt), lambda t: (_Z0, t),
                              memory_space=pltpu.VMEM)
     if transposed_out:
-        out_shape = (n_steps, out_rows, n_w * _W_TILE)
+        out_shape = (n_steps, out_rows, n_w * wt)
         out_spec = pl.BlockSpec(
-            (1, out_rows, _W_TILE),
+            (1, out_rows, wt),
             lambda t: (jax.lax.div(t, np.int32(n_w)), _Z0,
                        jax.lax.rem(t, np.int32(n_w))),
             memory_space=pltpu.VMEM)
     else:
         out_shape = (out_rows, cols)
-        out_spec = pl.BlockSpec((out_rows, _W_TILE), lambda t: (_Z0, t),
+        out_spec = pl.BlockSpec((out_rows, wt), lambda t: (_Z0, t),
                                 memory_space=pltpu.VMEM)
-    max_spec = pl.BlockSpec((1, _W_TILE), lambda t: (_Z0, t),
+    max_spec = pl.BlockSpec((1, wt), lambda t: (_Z0, t),
                             memory_space=pltpu.VMEM)
     scale_spec = max_spec
 
@@ -380,7 +383,7 @@ def _banded_level(lre, lim, pair, scale, out_rows: int,
             + (jax.ShapeDtypeStruct((1, cols), f32),)
         ),
         scratch_shapes=[
-            pltpu.VMEM((2 * k * n_bands, _W_TILE), jnp.int8)],
+            pltpu.VMEM((2 * k * n_bands, wt), jnp.int8)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024),
         interpret=_interpret(),
@@ -743,3 +746,60 @@ def _raw_autocorr_impl(x, consts, n_out: int,
     inv_m = np.float32(1.0 / m)
     return tuple(
         a.reshape(j1_out * n2, w)[:n_out] * inv_m for a in pair)
+
+
+# ---------------------------------------------------------------------
+# generic forward transform (building block for deeper compositions)
+# ---------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit, static_argnames=("n_bands", "max_group", "wt"),
+    donate_argnums=(0,))
+def _fft_fwd_impl(pair, consts, n_bands: int = _N_BANDS,
+                  max_group: int = None, wt: int = _W_TILE):
+    """Forward banded FFT along axis 0 of complex (M, B) double-float
+    pairs, NATURAL frequency order out. B must be a multiple of
+    _W_TILE. Same two fused kernels as the autocorrelation path."""
+    rh = pair[0]
+    m, w = rh.shape
+    n2 = m // _N1
+    n_w = w // wt
+    pair = tuple(a.reshape(_N1, n2 * w) for a in pair)
+    s_in = _pow2_ceil_f32(jnp.maximum(
+        jnp.max(jnp.abs(pair[0]), axis=0, keepdims=True),
+        jnp.max(jnp.abs(pair[2]), axis=0, keepdims=True)))
+    pair, _ = _banded_level(consts["l1_re"], consts["l1_im"], pair,
+                            s_in, _N1, True, n_w, transposed_out=True,
+                            n_bands=n_bands, max_group=max_group, wt=wt)
+    s1 = _pow2_ceil_f32(jnp.max(
+        jnp.maximum(jnp.abs(pair[0]), jnp.abs(pair[2])),
+        axis=0).reshape(1, _N1 * w))
+    pair = tuple(a.reshape(n2, _N1 * w) for a in pair)
+    pair, _ = _banded_level(consts["l2_re"], consts["l2_im"], pair,
+                            s1, n2, False, n_w,
+                            n_bands=n_bands, max_group=max_group, wt=wt)
+    # rows k2, cols (k1, w): frequency k = k2*128 + k1 — merging
+    # (k2, k1) after the trailing split is exactly k-major
+    return tuple(
+        a.reshape(n2, _N1, w).reshape(m, w) for a in pair)
+
+
+def fft_banded_pair(pair, inverse: bool = False, wt: int = _W_TILE):
+    """Complex FFT along axis 0 of (M, B) double-float pairs
+    (re_hi, re_lo, im_hi, im_lo), M = 128*n2 with shape_supported-range
+    n2, B % wt == 0 (wt a multiple of 128; smaller tiles trade grid
+    steps for HBM headroom — the input pair is DONATED). Natural
+    frequency order; the inverse includes the 1/M scale (conjugation
+    trick — forward kernels only)."""
+    rh = pair[0]
+    m = rh.shape[0]
+    n2 = m // _N1
+    consts = _device_constants(n2, 1)
+    if inverse:
+        pair = (pair[0], pair[1], -pair[2], -pair[3])
+    out = _fft_fwd_impl(pair, consts, wt=wt)
+    if inverse:
+        inv_m = np.float32(1.0 / m)
+        out = (out[0] * inv_m, out[1] * inv_m,
+               -out[2] * inv_m, -out[3] * inv_m)
+    return out
