@@ -140,3 +140,130 @@ class TestReferenceTopologyRegression:
         assert vh.results.viscosity == pytest.approx(slope, rel=1e-8)
         assert_allclose(vh.results.timeseries, series,
                         rtol=1e-8, atol=1e-12)
+
+
+class TestOUAnalyticOracle:
+    """Physics-analytic oracle for the generated EC data.
+
+    data/generate.py synthesizes per-atom Ornstein-Uhlenbeck
+    velocities (stationary Maxwell-Boltzmann, memory θ = exp(-Δt/τ))
+    with positions integrated from them:
+
+        v_n = θ v_{n-1} + σ √(1-θ²) ξ_n,   σ² = 100 k_B T / m
+        x_n = x_0 + Δt Σ_{u=1..n} v_u
+
+    Everything the analyses compute therefore has a CLOSED-FORM
+    expectation (Gaussian process + Wick's theorem), independent of
+    any code in transport_analysis_tpu — this replaces the self-pinned
+    regression value as the primary correctness oracle (the pinned
+    values remain as byte-level drift detectors).
+
+    VACF:  E[C(k)] = 3 · 100 k_B T · ⟨1/m⟩ · θ^k.
+
+    Helfand function: with A_i = m v_i x_i = m v_i (x_0 + y_i),
+    y_i = Δt Σ_{u≤i} v_u, Wick gives
+
+        E[(A_i − A_j)²] = m²[ x_0² · 2σ²(1−θ^k)
+                              + E B_i² + E B_j² − 2 E B_i B_j ]
+        E[B_i B_j] = E[v_i y_i] E[v_j y_j] + E[v_i v_j] E[y_i y_j]
+                     + E[v_i y_j] E[y_i v_j]          (B_i = v_i y_i)
+
+    with every covariance an explicit θ-geometric sum. Note m²σ² =
+    100 k_B T · m and m²σ⁴ = (100 k_B T)², so atom sums reduce to
+    ⟨m x_0²⟩ and a mass-independent term. The analytic expectation
+    also shows E[slope over (10, 40)] ≈ 0: independent OU particles
+    carry no collective momentum flux, so the pinned nonzero
+    `results.viscosity` is sampling noise around a plateau — which is
+    why the per-lag FUNCTION, not the slope, is the physical oracle.
+    """
+
+    KB = 0.008314462159
+    TAU = 0.35  # generator's velocity correlation time (ps)
+
+    @pytest.fixture(scope="class")
+    def oracle(self, u_ec):
+        from transport_analysis_tpu.data.generate import (
+            DT, N_FRAMES, TEMP,
+        )
+
+        theta = np.exp(-DT / self.TAU)
+        n = N_FRAMES
+        masses = u_ec.atoms.masses.astype(np.float64)
+        x0 = u_ec.trajectory[0].positions.astype(np.float64)
+        vol = float(u_ec.trajectory.ts.volume)
+
+        idx = np.arange(n)
+        # R[i,j] = E[v_i v_j]/σ²;  S[i,j] = E[v_i y_j]/(σ² Δt);
+        # Q[i,j] = E[y_i y_j]/(σ² Δt²)  (y_0 = 0)
+        R = theta ** np.abs(idx[:, None] - idx[None, :])
+        S = np.concatenate(
+            [np.zeros((n, 1)), np.cumsum(R[:, 1:], axis=1)], axis=1
+        )
+        Q = np.concatenate(
+            [np.zeros((1, n)), np.cumsum(S[1:, :], axis=0)], axis=0
+        )
+
+        kbt100 = 100.0 * self.KB * TEMP
+        x_mom = np.mean(masses[:, None] * x0 ** 2)  # ⟨m x_0²⟩
+        d = S.diagonal()
+        ts_exp = np.zeros(n)
+        for k in range(1, n):
+            i = np.arange(n - k)
+            j = i + k
+            ebii = d[i] ** 2 + Q[i, i] + S[i, i] * S[i, i]
+            ebjj = d[j] ** 2 + Q[j, j] + S[j, j] * S[j, j]
+            ebij = d[i] * d[j] + R[i, j] * Q[i, j] + S[i, j] * S[j, i]
+            term2 = kbt100 ** 2 * DT ** 2 * np.mean(
+                ebii + ebjj - 2.0 * ebij
+            )
+            term1 = kbt100 * x_mom * 2.0 * (1.0 - theta ** k)
+            ts_exp[k] = (term1 + term2) / (2.0 * self.KB * vol * TEMP)
+
+        vacf_exp = (
+            3.0 * kbt100 * np.mean(1.0 / masses)
+            * theta ** np.arange(n)
+        )
+        return {"helfand": ts_exp, "vacf": vacf_exp, "theta": theta}
+
+    def test_vacf_against_analytic(self, u_ec, oracle):
+        v = VelocityAutocorr(u_ec.atoms).run()
+        ts = v.results.timeseries
+        want = oracle["vacf"]
+        # lag 0: equipartition, tight (~1.1e6 samples → ~0.2% noise)
+        assert ts[0] == pytest.approx(want[0], rel=0.01)
+        # lag 1: resolves the θ decay
+        assert ts[1] == pytest.approx(want[1], rel=0.05)
+        # beyond ~2τ the expectation is below the sampling noise
+        # floor; assert only that the tail has decayed there
+        assert np.all(np.abs(ts[3:10]) < 0.02 * want[0])
+
+    def test_helfand_function_against_analytic(self, u_ec, oracle):
+        """Per-lag viscosity function vs the Wick expectation: a
+        systematic error anywhere (k_B, volume, mass weighting,
+        component mean, frame average, the (N-lag) normalization, or
+        the 1/(2 k_B V T) prefactor) shifts every lag."""
+        vh = ViscosityHelfand(u_ec.atoms).run()
+        ts = np.asarray(vh.results.timeseries)
+        want = oracle["helfand"]
+        rel = np.abs(ts[1:] - want[1:]) / want[1:]
+        # sampling noise grows as the frame-average window N-k shrinks
+        # (measured profile: ~0.5% to k=60, ~3.5% at k=99)
+        assert rel[:60].max() < 0.02, rel[:60].max()
+        assert rel.max() < 0.08, rel.max()
+
+    def test_viscosity_slope_is_plateau_noise(self, u_ec, oracle):
+        """The analytic slope over the fit window is ~0 (independent
+        OU particles transport no collective momentum); the measured
+        slope must be small on the plateau scale — a wrong lag
+        normalization or growth term would break this."""
+        lagtimes = np.arange(1, len(oracle["helfand"]))
+        win = slice(10, 40)
+        slope_exp = np.polyfit(
+            lagtimes[win], oracle["helfand"][1:][win], 1
+        )[0]
+        plateau = oracle["helfand"][50]
+        assert abs(slope_exp) < 1e-4 * plateau
+        vh = ViscosityHelfand(
+            u_ec.atoms, linear_fit_window=(10, 40)
+        ).run()
+        assert abs(vh.results.viscosity) < 5e-3 * plateau

@@ -1,0 +1,165 @@
+"""Deep-composition autocorrelation (ops/deep_acf.py) on CPU.
+
+The deep path wraps ONE extra four-step FFT level around the fused
+Pallas banded engine to reach M > 65536 (reference analogue: the
+tidynamics FFT path, velocityautocorr.py:210-213, which the engine
+replaces at production sizes). The Pallas engine itself cannot run on
+CPU at these sizes (interpret mode is orders of magnitude too slow),
+so these tests validate the COMPOSITION algebra — twiddle level, outer
+banded DFT, Hermitian two-for-one unpack, inverse-by-conjugation —
+by substituting the inner engine stage with an exact host-FFT
+stand-in honoring the same (hi, lo) double-float pair contract.
+TPU end-to-end equivalence lives in tests/test_tpu_equivalence.py.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from transport_analysis_tpu.ops import acf, deep_acf
+from transport_analysis_tpu.ops import pallas_fft as PF
+
+
+def exact_fft_banded_pair(pair, inverse=False, wt=None):
+    """Host-exact stand-in for pallas_fft.fft_banded_pair: complex FFT
+    along axis 0 of (M, B) double-float pairs, natural frequency
+    order, same pair-packing contract."""
+    re = np.asarray(pair[0], np.float64) + np.asarray(pair[1], np.float64)
+    im = np.asarray(pair[2], np.float64) + np.asarray(pair[3], np.float64)
+    z = re + 1j * im
+    if inverse:
+        f = np.fft.ifft(z, axis=0)
+    else:
+        f = np.fft.fft(z, axis=0)
+    out = []
+    for comp in (f.real, f.imag):
+        hi = comp.astype(np.float32)
+        lo = (comp - hi.astype(np.float64)).astype(np.float32)
+        out.extend([jnp.asarray(hi), jnp.asarray(lo)])
+    return out[0], out[1], out[2], out[3]
+
+
+class TestSupportGates:
+    def test_not_supported_on_cpu(self):
+        # backend gate: the deep path needs the TPU Pallas engine
+        assert deep_acf.supported(1 << 18, 16) is False
+
+    def test_split_m_table(self):
+        # inner must be engine-eligible, outer in [2, 256]
+        assert deep_acf._split_m(1 << 17) == (65536, 2)
+        assert deep_acf._split_m(1 << 18) == (65536, 4)
+        assert deep_acf._split_m(1 << 24) == (65536, 256)
+        # beyond 2^24: no admissible cofactor
+        assert deep_acf._split_m(1 << 25) == (None, None)
+        # non-power-of-two M is rejected upstream by supported()
+        # (dispatch only ever produces M = 2 * next_pow_2(N))
+        assert not deep_acf.supported(3 * 65536, 600)
+
+    def test_outer_tables_are_exact_dft(self):
+        t = deep_acf._outer_tables(16384, 4)
+        w = np.exp(-2j * np.pi * np.outer(np.arange(4), np.arange(4)) / 4)
+        np.testing.assert_allclose(np.asarray(t["dc"]), w.real, atol=1e-15)
+        np.testing.assert_allclose(np.asarray(t["ds"]), w.imag, atol=1e-15)
+
+
+@pytest.fixture
+def fake_engine(monkeypatch):
+    monkeypatch.setattr(deep_acf._pf, "fft_banded_pair",
+                        exact_fft_banded_pair)
+
+
+class TestCompositionAlgebra:
+    """raw_autocorr_deep vs the host float64 oracle, engine stage
+    replaced by the exact host FFT (fake_engine)."""
+
+    @pytest.mark.parametrize("n_series", [3, 16])
+    def test_matches_host_oracle(self, fake_engine, n_series):
+        rng = np.random.default_rng(7)
+        n = 1 << 15  # M = 65536 -> inner 32768 x outer 2
+        m = 2 * acf.next_pow_2(n)
+        assert deep_acf._split_m(m) == (32768, 2)
+        x = rng.standard_normal((n, n_series))
+        xp = jnp.pad(jnp.asarray(x), ((0, m - n), (0, 0)))
+        out = np.asarray(deep_acf.raw_autocorr_deep(xp, n))
+        ref = acf.acf_fft_numpy(x[:, :, None]) * (n - np.arange(n))[:, None]
+        scale = np.abs(ref).max()
+        assert np.max(np.abs(out - ref)) / scale < 1e-11
+
+    def test_outer_4(self, fake_engine):
+        # exercise a >2 outer factor and the k-major row interleave
+        rng = np.random.default_rng(11)
+        n, s = 1 << 16, 4  # M = 131072 -> inner 65536? no: CPU stand-in
+        m = 2 * acf.next_pow_2(n)
+        inner, outer = deep_acf._split_m(m)
+        assert outer >= 2
+        x = rng.standard_normal((n, s))
+        xp = jnp.pad(jnp.asarray(x), ((0, m - n), (0, 0)))
+        out = np.asarray(deep_acf.raw_autocorr_deep(xp, n))
+        ref = acf.acf_fft_numpy(x[:, :, None]) * (n - np.arange(n))[:, None]
+        assert np.max(np.abs(out - ref)) / np.abs(ref).max() < 1e-11
+
+
+class TestDispatchWiring:
+    """ops.acf dispatch consults deep_acf for engine-ineligible M."""
+
+    def test_dispatch_calls_deep(self, monkeypatch):
+        calls = {}
+
+        def spy_supported(m, s):
+            calls["checked"] = (m, s)
+            return True
+
+        def spy_deep(x, n_out):
+            calls["ran"] = (x.shape, n_out)
+            return jnp.zeros((n_out, x.shape[1]), x.dtype)
+
+        monkeypatch.setattr(acf, "_has_native_fft", lambda: False)
+        monkeypatch.setattr(deep_acf, "supported", spy_supported)
+        monkeypatch.setattr(deep_acf, "raw_autocorr_deep", spy_deep)
+        monkeypatch.setattr(PF, "supported", lambda m, s: False)
+
+        x = jnp.zeros((1 << 16, 4), jnp.float64)
+        out = acf.raw_autocorr(x)
+        assert calls["checked"] == (1 << 17, 4)
+        assert calls["ran"] == ((1 << 17, 4), 1 << 16)
+        assert out.shape == (1 << 16, 4)
+
+    def test_dispatch_sumlast_calls_deep(self, monkeypatch):
+        calls = {}
+
+        def spy_deep(x, n_out):
+            calls["ran"] = (x.shape, n_out)
+            return jnp.ones((n_out, x.shape[1]), x.dtype)
+
+        monkeypatch.setattr(acf, "_has_native_fft", lambda: False)
+        monkeypatch.setattr(deep_acf, "supported", lambda m, s: True)
+        monkeypatch.setattr(deep_acf, "raw_autocorr_deep", spy_deep)
+        monkeypatch.setattr(PF, "supported", lambda m, s: False)
+
+        x = jnp.zeros((1 << 16, 2, 3), jnp.float64)
+        out = acf.raw_autocorr_sumlast(x)
+        assert calls["ran"] == ((1 << 17, 6), 1 << 16)
+        # component sum of ones = d
+        assert np.allclose(np.asarray(out), 3.0)
+
+    def test_no_deep_under_outer_jit(self, monkeypatch):
+        """Under an active trace the eager engines must NOT run (their
+        cached constants would become program literals)."""
+        monkeypatch.setattr(acf, "_has_native_fft", lambda: False)
+        monkeypatch.setattr(
+            deep_acf, "raw_autocorr_deep",
+            lambda *a, **k: pytest.fail("deep path ran under trace"))
+        monkeypatch.setattr(deep_acf, "supported", lambda m, s: True)
+        monkeypatch.setattr(
+            PF, "raw_autocorr_pallas",
+            lambda *a, **k: pytest.fail("pallas path ran under trace"))
+        monkeypatch.setattr(PF, "supported", lambda m, s: True)
+
+        rng = np.random.default_rng(3)
+        x = rng.standard_normal((256, 4))
+
+        out = jax.jit(acf.raw_autocorr)(jnp.asarray(x))
+        ref = acf.acf_fft_numpy(x[:, :, None]) * (256 - np.arange(256))[:, None]
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-9)

@@ -31,11 +31,22 @@ GOLD_TRR = os.path.join(HERE, "golden", "golden.trr")
 GOLD_XTC = os.path.join(HERE, "golden", "golden.xtc")
 GOLD_XTC12 = os.path.join(HERE, "golden", "golden12.xtc")
 GOLD_NPZ = os.path.join(HERE, "golden", "golden_arrays.npz")
+GOLD_DCD = os.path.join(HERE, "golden", "golden.dcd")
+GOLD_NCDF = os.path.join(HERE, "golden", "golden.ncdf")
+GOLD_H5MD = os.path.join(HERE, "golden", "golden.h5md")
+GOLD_NPZ2 = os.path.join(HERE, "golden", "golden_arrays_r2.npz")
 
 
 @pytest.fixture(scope="module")
 def golden():
     return np.load(GOLD_NPZ)
+
+
+@pytest.fixture(scope="module")
+def golden2():
+    """Round-2 fixture arrays (DCD / Amber NetCDF / H5MD goldens;
+    regenerate with tests/golden/generate_r2.py)."""
+    return np.load(GOLD_NPZ2)
 
 
 class TestGoldenTRR:
@@ -209,3 +220,235 @@ class TestGoldenXTC:
         with open(GOLD_XTC, "rb") as fh:
             want = fh.read()
         assert out.read_bytes() == want
+
+
+class TestGoldenDCD:
+    """CHARMM DCD: byte-frozen fixture + raw-struct header assertions
+    against the public CHARMM/NAMD dcdlib layout (Fortran records,
+    'CORD' magic, icntrl block, AKMA time unit)."""
+
+    def test_decoded_values(self, golden2):
+        from transport_analysis_tpu.io.dcd import DCDReader
+
+        r = DCDReader(GOLD_DCD)
+        assert r.n_frames == 3
+        assert r.n_atoms == 7
+        for i in range(3):
+            ts = r[i]
+            assert_allclose(ts.positions, golden2["positions"][i],
+                            atol=1e-6)
+            assert_allclose(ts.dimensions, golden2["dimensions"],
+                            atol=1e-4)
+        assert not r.ts.has_velocities  # the no-velocities error path
+
+    def test_header_spec_fields(self):
+        with open(GOLD_DCD, "rb") as fh:
+            buf = fh.read()
+        # Fortran record 1: length 84, 'CORD', 20-int icntrl block
+        (rlen,) = struct.unpack_from("<i", buf, 0)
+        assert rlen == 84
+        assert buf[4:8] == b"CORD"
+        icntrl = struct.unpack_from("<20i", buf, 8)
+        assert icntrl[0] == 3          # nset: frames (patched on close)
+        assert icntrl[2] == 1          # nsavc
+        assert icntrl[10] == 1         # unit-cell flag
+        assert icntrl[19] == 24        # CHARMM version marker
+        # CHARMM stores the timestep as AKMA float in icntrl[9]
+        (delta,) = struct.unpack_from("<f", buf, 8 + 9 * 4)
+        assert delta == pytest.approx(0.5 / 4.888821e-2, rel=1e-6)
+        (rlen_end,) = struct.unpack_from("<i", buf, 88)
+        assert rlen_end == 84
+        # record 2: title; record 3: natoms
+        (tlen,) = struct.unpack_from("<i", buf, 92)
+        assert tlen == 84
+        off = 92 + 4 + tlen + 4
+        nlen, natoms, nlen_end = struct.unpack_from("<3i", buf, off)
+        assert (nlen, natoms, nlen_end) == (4, 7, 4)
+        off += 12
+        # first frame: 48-byte unit-cell record (a, cos γ, b, cos β,
+        # cos α, c as f64), then three natoms-float records (x, y, z)
+        (clen,) = struct.unpack_from("<i", buf, off)
+        assert clen == 48
+        cell = np.frombuffer(buf, "<f8", 6, off + 4)
+        assert_allclose([cell[0], cell[2], cell[5]],
+                        [18.0, 20.0, 22.0])
+        assert_allclose([cell[1], cell[3], cell[4]], 0.0, atol=1e-12)
+        off += 4 + 48 + 4
+        (xlen,) = struct.unpack_from("<i", buf, off)
+        assert xlen == 7 * 4
+
+    def test_bytes_frozen(self, golden2, tmp_path):
+        from transport_analysis_tpu.io.dcd import DCDWriter
+
+        out = tmp_path / "re.dcd"
+        with DCDWriter(out, n_atoms=7, dt=0.5) as w:
+            for i in range(3):
+                w.write(positions=golden2["positions"][i],
+                        dimensions=golden2["dimensions"])
+        with open(GOLD_DCD, "rb") as fh:
+            want = fh.read()
+        assert out.read_bytes() == want
+
+
+class TestGoldenNCDF:
+    """Amber NetCDF: byte-frozen fixture + raw-struct assertions on
+    the NetCDF-3 (64-bit offset) container and the AMBER conventions
+    (units, names, velocity scale_factor 20.455)."""
+
+    def test_decoded_values(self, golden2):
+        from transport_analysis_tpu.io.netcdf import (
+            AMBER_VEL_SCALE, NCDFReader,
+        )
+
+        r = NCDFReader(GOLD_NCDF)
+        assert r.n_frames == 3
+        assert r.n_atoms == 7
+        for i in range(3):
+            ts = r[i]
+            assert_allclose(ts.positions, golden2["positions"][i],
+                            atol=1e-5)
+            # on disk: Å per 1/20.455 ps; API: Å/ps
+            want_v = (
+                golden2["velocities"][i].astype(np.float64)
+                / AMBER_VEL_SCALE
+            ).astype(np.float32) * AMBER_VEL_SCALE
+            assert_allclose(ts.velocities, want_v, atol=1e-4)
+            assert ts.time == pytest.approx(0.5 * i)
+            assert_allclose(ts.dimensions, golden2["dimensions"],
+                            atol=1e-6)
+
+    def test_container_spec_fields(self):
+        with open(GOLD_NCDF, "rb") as fh:
+            buf = fh.read()
+        # NetCDF-3 64-bit-offset magic: 'CDF' 0x02
+        assert buf[:4] == b"CDF\x02"
+        # AMBER conventions are plain-text in the header block
+        for token in (
+            b"Conventions", b"AMBER", b"coordinates", b"velocities",
+            b"cell_lengths", b"cell_angles", b"angstrom",
+            b"picosecond", b"scale_factor", b"spatial", b"frame",
+        ):
+            assert token in buf, token
+        # scale_factor attr: NC_FLOAT (type 5), one element, 20.455
+        i = buf.find(b"scale_factor")
+        assert i >= 0
+        sf = (b"\x00\x00\x00\x05\x00\x00\x00\x01"
+              + struct.pack(">f", 20.455))
+        assert buf[i + 12:i + 12 + len(sf)] == sf
+
+    def test_scipy_ecosystem_read(self, golden2):
+        """scipy's netcdf module IS an independent ecosystem reader;
+        it must see the AMBER layout directly (no codec of ours)."""
+        from scipy.io import netcdf_file
+
+        nc = netcdf_file(GOLD_NCDF, "r", mmap=False)
+        v = nc.variables
+        assert v["coordinates"].units == b"angstrom"
+        assert v["time"].units == b"picosecond"
+        assert v["velocities"].scale_factor == pytest.approx(20.455)
+        assert v["coordinates"].shape == (3, 7, 3)
+        assert_allclose(np.array(v["cell_angles"][0]), [90, 90, 90])
+        nc.close()
+
+    def test_bytes_frozen(self, golden2, tmp_path):
+        from transport_analysis_tpu.io.netcdf import NCDFWriter
+
+        out = tmp_path / "re.ncdf"
+        with NCDFWriter(out, n_atoms=7, velocities=True) as w:
+            for i in range(3):
+                w.write(positions=golden2["positions"][i],
+                        velocities=golden2["velocities"][i],
+                        dimensions=golden2["dimensions"],
+                        time=0.5 * i)
+        with open(GOLD_NCDF, "rb") as fh:
+            want = fh.read()
+        assert out.read_bytes() == want
+
+
+class TestGoldenH5MD:
+    """H5MD: frozen fixture verified through h5py DIRECTLY (the
+    ecosystem HDF5 library — our reader cannot mask writer drift),
+    spec assertions on the H5MD 1.1 layout, and a structural
+    writer-drift check."""
+
+    def test_decoded_values(self, golden2):
+        from transport_analysis_tpu.io.h5md import H5MDReader
+
+        r = H5MDReader(GOLD_H5MD)
+        assert r.n_frames == 3
+        assert r.n_atoms == 7
+        for i in range(3):
+            ts = r[i]
+            assert_allclose(ts.positions, golden2["positions"][i],
+                            atol=1e-6)
+            assert_allclose(ts.velocities, golden2["velocities"][i],
+                            atol=1e-6)
+            assert ts.time == pytest.approx(0.5 * i)
+            assert_allclose(ts.dimensions[:3],
+                            golden2["dimensions"][:3], atol=1e-9)
+
+    def test_h5md_spec_layout(self, golden2):
+        h5py = pytest.importorskip("h5py")
+        with h5py.File(GOLD_H5MD, "r") as f:
+            assert list(f["h5md"].attrs["version"]) == [1, 1]
+            g = f["particles/trajectory"]
+            pv = g["position/value"]
+            assert pv.shape == (3, 7, 3)
+            assert pv.dtype == np.float32
+            assert pv.attrs["unit"] in ("Angstrom", b"Angstrom")
+            assert g["position/time"].attrs["unit"] in ("ps", b"ps")
+            vv = g["velocity/value"]
+            assert vv.attrs["unit"] in (
+                "Angstrom ps-1", b"Angstrom ps-1"
+            )
+            box = g["box"]
+            assert box.attrs["dimension"] == 3
+            assert_allclose(box["edges/value"][0],
+                            golden2["dimensions"][:3])
+            # datasets hold the source values (h5py read, not ours)
+            assert_allclose(pv[1], golden2["positions"][1], atol=1e-6)
+            assert_allclose(vv[2], golden2["velocities"][2],
+                            atol=1e-6)
+            assert list(g["position/step"][:]) == [0, 1, 2]
+
+    def test_writer_structural_freeze(self, golden2, tmp_path):
+        """Re-encoding must reproduce the frozen file's full HDF5
+        structure — every dataset path, dtype, shape, attrs, and
+        value, walked with h5py (bytes can shift across h5py
+        versions; structure must not)."""
+        h5py = pytest.importorskip("h5py")
+        from transport_analysis_tpu.io.h5md import H5MDWriter
+
+        out = tmp_path / "re.h5md"
+        with H5MDWriter(out, n_atoms=7, velocities=True) as w:
+            for i in range(3):
+                w.write(positions=golden2["positions"][i],
+                        velocities=golden2["velocities"][i],
+                        dimensions=golden2["dimensions"],
+                        time=0.5 * i)
+
+        def walk(f):
+            items = {}
+
+            def visit(name, obj):
+                attrs = {
+                    k: (list(v) if isinstance(v, np.ndarray) else v)
+                    for k, v in obj.attrs.items()
+                }
+                if isinstance(obj, h5py.Dataset):
+                    items[name] = (
+                        str(obj.dtype), obj.shape, attrs,
+                        np.asarray(obj[()]).tobytes(),
+                    )
+                else:
+                    items[name] = ("group", attrs)
+            f.visititems(visit)
+            return items
+
+        with h5py.File(GOLD_H5MD, "r") as fg, h5py.File(
+            out, "r"
+        ) as fo:
+            want, got = walk(fg), walk(fo)
+        assert set(want) == set(got)
+        for name in want:
+            assert got[name] == want[name], name

@@ -93,16 +93,17 @@ class TestSupported:
 
     def test_backend_gate(self):
         # the normal suite forces the CPU backend (conftest), where the
-        # engine must never dispatch; the TPU-positive case is covered
-        # by the hardware equivalence suite
-        if jax.default_backend() == "cpu":
+        # engine must never dispatch; GPU backends are likewise gated
+        # out (these are TPU Mosaic kernels). The TPU-positive case is
+        # covered by the hardware equivalence suite.
+        if jax.default_backend() in ("cpu", "gpu", "cuda", "rocm"):
             assert not PF.supported(16384, 1536)
         else:
             assert PF.supported(16384, 1536)
 
 
 @pytest.mark.skipif(
-    jax.default_backend() == "cpu",
+    jax.default_backend() in ("cpu", "gpu", "cuda", "rocm"),
     reason="full-kernel equivalence needs the TPU (interpret mode "
     "takes minutes; covered by test_tpu_equivalence.py + bench)",
 )

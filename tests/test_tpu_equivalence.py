@@ -67,6 +67,41 @@ def test_pallas_lag_kernel_f32_grade():
     assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+def test_pallas_lag_pair_kernel_f64_grade():
+    """The double-float pair profile of the windowed lag kernel on
+    hardware: ~2^-45-grade sums relative to row scale (the production
+    fft=False / max_lag path for float64 analyses)."""
+    from transport_analysis_tpu import ops
+
+    rng = np.random.RandomState(11)
+    x = rng.normal(3.0, 5.0, size=(1024, 32, 3))
+    got = np.asarray(ops.acf_windowed(x, max_lag=256))
+    n = x.shape[0]
+    want = np.zeros((256, 32))
+    for lag in range(256):
+        want[lag] = (
+            np.sum(x[: n - lag] * x[lag:], axis=-1).sum(axis=0)
+            / (n - lag)
+        )
+    assert_allclose(got, want, rtol=1e-10, atol=1e-10)
+
+
+def test_pallas_lag_pair_einstein_f64_grade():
+    from transport_analysis_tpu import ops
+
+    rng = np.random.RandomState(12)
+    a = rng.normal(0.0, 2.0, size=(512, 16, 3)) + 50.0
+    got = np.asarray(
+        ops.einstein_difference_windowed(a, reduce_mode="mean")
+    )
+    n = a.shape[0]
+    want = np.zeros((n, 16))
+    for lag in range(1, n):
+        diff = a[:-lag] - a[lag:]
+        want[lag] = np.square(diff).sum(-1).mean(0) / 3.0
+    assert_allclose(got, want, rtol=1e-9, atol=1e-12)
+
+
 def test_ozaki_default_path_zero_rows_finite_on_tpu():
     """Round-1 regression: the default TPU f64 path (Ozaki banded bf16
     GEMMs) must stay finite for operands with all-zero rows/columns —
@@ -160,6 +195,48 @@ def test_pallas_fft_dispatch_in_acf():
     # the raw ABSOLUTE error floor by ~N relative to the acf maximum
     # (f64 itself shows the same effect at ~1e-12); keep a dedicated
     # tight bound on the first half and a physical bound on the tail.
+    assert err[: len(err) // 2].max() < 1e-11
+    assert err.max() < 2e-9
+
+
+@pytest.mark.parametrize("n_exp", [17, 18])
+def test_deep_acf_matches_host_f64(n_exp):
+    """The deep composition (ops/deep_acf.py) — one extra four-step
+    level around the Pallas engine — at frame counts beyond the
+    engine's N = 32768 ceiling, against the host float64 oracle.
+    Covers the >=2^17-frame leg of the north star (the reference's
+    serial tidynamics loop, velocityautocorr.py:210-213)."""
+    import jax.numpy as jnp
+    from transport_analysis_tpu.ops import deep_acf
+    from transport_analysis_tpu.ops.acf import acf_fft_numpy, next_pow_2
+
+    n, s = 1 << n_exp, 16
+    m = 2 * next_pow_2(n)
+    if not deep_acf.supported(m, s):
+        pytest.skip("deep_acf unsupported on this backend")
+    rng = np.random.RandomState(6)
+    x = rng.normal(0, 3, size=(n, s)) + rng.uniform(-10, 10, (1, s))
+    xp = jnp.pad(jnp.asarray(x), ((0, m - n), (0, 0)))
+    got = np.asarray(deep_acf.raw_autocorr_deep(xp, n))
+    want = acf_fft_numpy(x[:, :, None]) * (n - np.arange(n))[:, None]
+    rel = np.max(np.abs(got - want)) / np.max(np.abs(want))
+    assert rel < 1e-11
+
+
+def test_deep_acf_dispatch_in_acf_fft():
+    """ops.acf_fft at N > 32768 routes through the deep composition
+    end-to-end (dispatch wiring, normalization, component sum)."""
+    from transport_analysis_tpu import ops
+    from transport_analysis_tpu.ops.acf import acf_fft_numpy
+
+    n, p, d = 1 << 16, 8, 3
+    rng = np.random.RandomState(10)
+    x = rng.normal(size=(n, p, d))
+    got = np.asarray(ops.acf_fft(x))
+    want = acf_fft_numpy(x)
+    denom = np.max(np.abs(want))
+    err = np.abs(got - want) / denom
+    # same tail-amplification structure as the engine dispatch test
     assert err[: len(err) // 2].max() < 1e-11
     assert err.max() < 2e-9
 

@@ -48,6 +48,26 @@ def _has_native_fft() -> bool:
     return jax.default_backend() in ("cpu",)
 
 
+def _eager_engines_ok() -> bool:
+    """True when no outer jax trace is active.
+
+    The Pallas banded-FFT engine and the deep composition stage their
+    work as EAGER jit calls whose banded level matrices are cached
+    device constants (~100-350 MB at large n2). Tracing them inside a
+    user's outer ``jax.jit`` would embed those constants as program
+    literals — per-shape recompiles everywhere, and outright rejection
+    (HTTP 413) on tunneled remote-compile backends. Under an active
+    trace the dispatch therefore falls back to the pure-XLA matmul-FFT
+    path, which traces cleanly.
+    """
+    try:
+        from jax._src.core import trace_state_clean
+
+        return trace_state_clean()
+    except Exception:  # pragma: no cover - very old/new jax
+        return True
+
+
 @jax.jit
 def _raw_autocorr_native(x: jax.Array) -> jax.Array:
     """Unnormalized linear autocorrelation per column via the backend's
@@ -65,9 +85,18 @@ def raw_autocorr(x: jax.Array) -> jax.Array:
 
     TPU float64 at production shapes goes through the fused Pallas
     banded-FFT engine (ops/pallas_fft.py: ~40 device ops, int8 MXU
-    GEMMs, ~4x the XLA matmul-FFT path, ~1e-12 vs host float64);
-    other shapes/dtypes use the XLA matmul-FFT (ops/fft.py).
+    GEMMs, ~4x the XLA matmul-FFT path, ~1e-12 vs host float64).
+    Beyond the engine's M = 65536 ceiling (N > 32768 frames) the deep
+    composition (ops/deep_acf.py) wraps one extra four-step level
+    around it, reaching M = 2^24. Other shapes/dtypes use the XLA
+    matmul-FFT (ops/fft.py).
     Disable with TRANSPORT_ANALYSIS_TPU_NO_PALLAS_FFT=1.
+
+    .. note:: do NOT wrap this function in an outer ``jax.jit``: the
+       engine paths stage eagerly and cache large banded constants
+       which an outer trace would embed as program literals. Under an
+       active trace the dispatch detects this and falls back to the
+       (traceable) XLA matmul-FFT path.
     """
     import os
 
@@ -78,12 +107,16 @@ def raw_autocorr(x: jax.Array) -> jax.Array:
     if (
         x.dtype == jnp.float64
         and not os.environ.get("TRANSPORT_ANALYSIS_TPU_NO_PALLAS_FFT")
+        and _eager_engines_ok()
     ):
-        from . import pallas_fft
+        from . import deep_acf, pallas_fft
 
         if pallas_fft.supported(M, x.shape[1]):
             x_pad = jnp.pad(x, ((0, M - N), (0, 0)))
             return pallas_fft.raw_autocorr_pallas(x_pad, N)
+        if deep_acf.supported(M, x.shape[1]):
+            x_pad = jnp.pad(x, ((0, M - N), (0, 0)))
+            return deep_acf.raw_autocorr_deep(x_pad, N)
     from .fft import raw_autocorr_matmul
 
     x_pad = jnp.pad(x, ((0, M - N), (0, 0)))
@@ -114,6 +147,10 @@ def raw_autocorr_sumlast(x: jax.Array) -> jax.Array:
     fwd/power/inv fusion inside each column block cost more than the
     d× smaller inverse saves (BENCH_NOTES.md, round 2). The TPU path
     keeps the fused per-block pipeline and sums afterwards.
+
+    .. note:: as with :func:`raw_autocorr`, do not wrap in an outer
+       ``jax.jit`` — the engine paths stage eagerly; under an active
+       trace the dispatch falls back to the XLA matmul-FFT.
     """
     import os
 
@@ -125,9 +162,14 @@ def raw_autocorr_sumlast(x: jax.Array) -> jax.Array:
     if (
         x.dtype == jnp.float64
         and not os.environ.get("TRANSPORT_ANALYSIS_TPU_NO_PALLAS_FFT")
+        and _eager_engines_ok()
     ):
-        from . import pallas_fft
+        from . import deep_acf, pallas_fft
 
+        if deep_acf.supported(M, S) and not pallas_fft.supported(M, S):
+            x_pad = jnp.pad(x.reshape(N, S), ((0, M - N), (0, 0)))
+            raw = deep_acf.raw_autocorr_deep(x_pad, N)
+            return jnp.sum(raw.reshape(N, P, d), axis=-1)
         if pallas_fft.supported(M, S):
             # Post-process in the double-float pair domain: emulated-
             # f64 reshapes/copies cost ~1 ms per 100 MB here (trace-
@@ -190,18 +232,59 @@ def _acf_windowed_impl(x: jax.Array, n_lags: int) -> jax.Array:
     )
 
 
+def _windowed_pallas_ok(dtype, n: int) -> bool:
+    """Gate for routing the windowed kernels through the Pallas lag
+    kernel (ops/pallas_lag.py): TPU backends only.
+
+    float32 (default on): the plain-profile tile kernel keeps each
+    row block VMEM-resident per lag block where the XLA fori_loop
+    kernels re-read the full series from HBM per lag.
+
+    float64 (opt-in via TRANSPORT_ANALYSIS_TPU_PALLAS_LAG_F64=1): the
+    double-float pair profile is exact-grade (~1e-14, N ≤ 2^17) but
+    hardware-measured SLOWER than the XLA kernel at config-#1 shape
+    (449 ms vs 157 ms, N=4096 P=128): exact 49-bit windowed sums cost
+    ~60 VPU flops per element-lag, and at the v5e VPU's ~4 TF/s f32
+    peak that can never beat the HBM-bound XLA loop by more than
+    ~1.6x (BENCH_NOTES "windowed lag kernel"). The XLA kernel stays
+    the float64 default. Disable the kernel entirely with
+    TRANSPORT_ANALYSIS_TPU_NO_PALLAS_LAG=1.
+    """
+    import os
+
+    if jax.default_backend() in ("cpu", "gpu", "cuda", "rocm"):
+        return False
+    if os.environ.get("TRANSPORT_ANALYSIS_TPU_NO_PALLAS_LAG"):
+        return False
+    if dtype == jnp.float64:
+        from .pallas_lag import pair_supported
+
+        return bool(
+            os.environ.get("TRANSPORT_ANALYSIS_TPU_PALLAS_LAG_F64")
+        ) and pair_supported(n)
+    return dtype == jnp.float32
+
+
 def acf_windowed(x, max_lag=None) -> jax.Array:
     """Exact per-lag windowed autocorrelation, (N, P, d) → (n_lags, P).
 
     Same summation order as the reference's simple algorithm
     (velocityautocorr.py:223-235); O(N·L·P·d) for ``max_lag`` = L lags
-    (all N by default), fully on-device.
+    (all N by default), fully on-device. On TPU the per-lag sweep runs
+    in the blocked Pallas lag kernel (see :func:`_windowed_pallas_ok`);
+    elsewhere (and as fallback) a lax.fori_loop XLA kernel.
     """
     x = jnp.asarray(x)
     if x.ndim == 2:
         x = x[:, :, None]
     n = x.shape[0]
     n_lags = n if max_lag is None else min(int(max_lag), n)
+    if _windowed_pallas_ok(x.dtype, n):
+        from .pallas_lag import windowed_lag_pallas
+
+        return windowed_lag_pallas(
+            x, max_lag=n_lags, mode="acf", reduce_mode="sum"
+        )
     return _acf_windowed_impl(x, n_lags)
 
 

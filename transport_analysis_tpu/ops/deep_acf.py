@@ -24,10 +24,9 @@ inside an outer jit embeds its banded constants as program literals
 M ~ 2^21 move multi-GB arrays whose buffers should be freed between
 stages rather than held by one giant program.
 
-Replaces the pure-XLA matmul-FFT path for these sizes: at the
-BENCH_NOTES "1M-frame axis" demo shape the XLA path measures 12.7 s;
-this composition is an order of magnitude faster (see BENCH_NOTES
-round 3).
+Dispatched from ops/acf.py (raw_autocorr / raw_autocorr_sumlast) for
+float64 series with M > the engine ceiling; measured numbers live in
+BENCH_NOTES.md ("deep composition").
 """
 
 from __future__ import annotations

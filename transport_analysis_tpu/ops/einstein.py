@@ -65,12 +65,24 @@ def einstein_difference_windowed(
 
     ``reduce_mode='mean'`` averages over components (Helfand,
     viscosity.py:222); ``'sum'`` sums them (MSD convention).
+
+    On TPU the per-lag sweep runs in the blocked Pallas lag kernel
+    (ops/pallas_lag.py 'einstein' mode, double-float pair profile for
+    float64); elsewhere the lax.fori_loop XLA kernel.
     """
+    from .acf import _windowed_pallas_ok
+
     a = jnp.asarray(a)
     if a.ndim == 2:
         a = a[:, :, None]
     n = a.shape[0]
     n_lags = n if max_lag is None else min(int(max_lag), n)
+    if _windowed_pallas_ok(a.dtype, n):
+        from .pallas_lag import windowed_lag_pallas
+
+        return windowed_lag_pallas(
+            a, max_lag=n_lags, mode="einstein", reduce_mode=reduce_mode
+        )
     return _einstein_windowed_impl(a, reduce_mode, n_lags)
 
 

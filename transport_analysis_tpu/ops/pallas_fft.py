@@ -90,6 +90,12 @@ _DELTA = 7
 _N_BANDS = 7            # 49-bit coverage below each stage's column max
 _N1 = 128               # level-1 / inverse-level-B DFT size (MXU tile)
 _W_TILE = int(os.environ.get('TRANSPORT_ANALYSIS_TPU_FFT_W_TILE', 256))  # batch columns per grid step
+if _W_TILE <= 0 or _W_TILE % 128:
+    raise ValueError(
+        "TRANSPORT_ANALYSIS_TPU_FFT_W_TILE must be a positive multiple "
+        f"of 128 (lane-tile width); got {_W_TILE}. Unaligned tiles "
+        "break kernel tiling and the shape_supported gate."
+    )
 _HI_BANDS = 3           # bands taken from `hi` before folding in `lo`
 
 _Z0 = np.int32(0)       # index-map constant (python ints trace as i64
