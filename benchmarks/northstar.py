@@ -51,7 +51,9 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import transport_analysis_tpu  # noqa: E402,F401
 from transport_analysis_tpu import ops  # noqa: E402
-from transport_analysis_tpu.ops.acf import acf_fft_numpy  # noqa: E402
+from transport_analysis_tpu.ops.acf import (  # noqa: E402
+    acf_fft_numpy, next_pow_2,
+)
 from transport_analysis_tpu.utils.units import constants  # noqa: E402
 
 KB = constants["Boltzmann_constant"]
@@ -121,22 +123,84 @@ def _host_kernel():
     return step
 
 
+def auto_chunk(n_frames: int, hbm_budget_gb: float = 6.0) -> int:
+    """Largest power-of-two atom chunk whose correlation pass fits
+    HBM. Memory model (measured round 4): the deep/banded FFT of a
+    (M, 2w) packed block peaks at ~M·w·48 bytes (f64 source + four
+    f32 pair arrays + stage temporaries), with w ≈ 3·chunk/2 packed
+    complex columns and M = 2·next_pow2(N). The Helfand pass adds the
+    (N, chunk, 3) f64 accumulator (~M·chunk·12)."""
+    m = 2 * next_pow_2(n_frames)
+    budget = hbm_budget_gb * 1e9
+    chunk = int(budget / (m * 48 * 1.5))
+    pow2 = 1
+    while pow2 * 2 <= chunk:
+        pow2 *= 2
+    return max(16, min(1024, pow2))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=32768)
     ap.add_argument("--atoms", type=int, default=100352)
-    ap.add_argument("--chunk", type=int, default=1024)
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="atoms per device chunk (0 = auto from HBM)")
     ap.add_argument("--feed", choices=("device", "host"), default="device")
     ap.add_argument("--check", action="store_true",
                     help="verify one chunk against the host f64 oracle")
+    ap.add_argument("--stages", action="store_true",
+                    help="fenced per-stage breakdown of one chunk")
     args = ap.parse_args()
 
-    n_frames, chunk = args.frames, args.chunk
+    n_frames = args.frames
+    chunk = args.chunk or auto_chunk(n_frames)
     n_chunks = -(-args.atoms // chunk)
     n_atoms = n_chunks * chunk  # keep chunks uniform
 
     vacf_acc = np.zeros(n_frames, np.float64)
     helf_acc = np.zeros(n_frames, np.float64)
+
+    if args.stages:
+        # fenced per-stage walls of ONE chunk (synth / VACF / Helfand)
+        step = _device_kernel(n_frames, chunk)
+        key = jax.random.PRNGKey(0)
+        np.asarray(step(jax.random.fold_in(key, 10**6))[0])  # warm
+
+        @jax.jit
+        def _synth_only(key):
+            kv, kp, km = jax.random.split(key, 3)
+            vel32 = 5.0 * jax.random.normal(
+                kv, (n_frames, chunk, 3), jnp.float32)
+            pos32 = (jnp.cumsum(vel32, axis=0) * jnp.float32(0.002)
+                     + jax.random.uniform(
+                         kp, (1, chunk, 3), jnp.float32, 0.0, 20.0))
+            masses = jax.random.uniform(
+                km, (chunk,), jnp.float64, 1.0, 16.0)
+            return (vel32.astype(jnp.float64),
+                    pos32.astype(jnp.float64), masses)
+
+        stages = {}
+        t0 = time.perf_counter()
+        vel, pos, masses = _synth_only(jax.random.fold_in(key, 1))
+        np.asarray(vel[-1, -1])
+        stages["synth"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        vs = ops.acf_fft(vel).sum(axis=1)
+        np.asarray(vs[-1])
+        stages["vacf_fft"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        accum = masses[None, :, None] * vel * pos
+        hs = ops.einstein_difference_fft(accum, "mean").sum(axis=1)
+        np.asarray(hs[-1])
+        stages["helfand_fft"] = time.perf_counter() - t0
+        print(json.dumps({
+            "metric": (
+                f"north-star chunk stages (N={n_frames}, "
+                f"chunk={chunk}, f64)"),
+            "stages_s": {k: round(v, 2) for k, v in stages.items()},
+            "chunk_wall_s": round(sum(stages.values()), 2),
+        }))
+        return
 
     if args.feed == "device":
         step = _device_kernel(n_frames, chunk)
@@ -195,6 +259,8 @@ def main():
         "value": lags / wall,
         "unit": "atom-frame-lags/s",
         "wall_s": round(wall, 1),
+        "chunk": chunk,
+        "n_chunks": n_chunks,
         "gk_diffusivity": float(gk_d),
         "helfand_slope": float(slope),
     }

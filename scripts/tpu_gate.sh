@@ -11,7 +11,7 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-MIN_LAGS="${TPU_GATE_MIN_LAGS:-6.0e11}"   # throughput regression floor
+MIN_LAGS="${TPU_GATE_MIN_LAGS:-1.0e12}"   # throughput regression floor
 MAX_RELERR="${TPU_GATE_MAX_RELERR:-1e-11}"  # f64 contract
 
 echo "== on-TPU equivalence suite =="

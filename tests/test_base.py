@@ -62,8 +62,21 @@ class TestRunArguments:
 
     def test_verbose_progress(self, u_random, capsys):
         VelocityAutocorr(u_random.atoms, engine="frame").run(verbose=True)
-        out = capsys.readouterr().out
-        assert "VelocityAutocorr: frame 12/12" in out
+        cap = capsys.readouterr()
+        out = cap.out + cap.err  # tqdm writes to stderr
+        assert "VelocityAutocorr" in out
+        assert "12/12" in out
+
+    def test_verbose_progress_streaming(self, u_random, capsys):
+        VelocityAutocorr(u_random.atoms, frame_block=4).run(verbose=True)
+        cap = capsys.readouterr()
+        out = cap.out + cap.err
+        assert "12/12" in out
+
+    def test_quiet_by_default(self, u_random, capsys):
+        VelocityAutocorr(u_random.atoms, engine="frame").run()
+        cap = capsys.readouterr()
+        assert "12/12" not in (cap.out + cap.err)
 
     def test_times_follow_selection(self, u_random):
         v = VelocityAutocorr(u_random.atoms).run(start=2, stop=10, step=2)

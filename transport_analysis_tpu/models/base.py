@@ -209,20 +209,30 @@ class AnalysisBase:
             and self._frame_block is not None
             and hasattr(self, "_process_block")
         )
+        show_progress = verbose if verbose is not None else self._verbose
         if use_stream:
             self._validate_trajectory()
             with self.timing.stage("io"):
                 from ..io.prefetch import prefetch_batches
+                from ..utils.progress import progress_bar
 
                 times = []
                 offset = 0
-                for block in prefetch_batches(
+                blocks = prefetch_batches(
                     self._trajectory, self.frames,
                     block_size=self._frame_block,
-                ):
+                )
+                bar = progress_bar(
+                    total=len(self.frames),
+                    desc=type(self).__name__,
+                    disable=not show_progress,
+                )
+                for block in blocks:
                     times.append(np.asarray(block["times"]))
                     self._process_block(block, offset)
                     offset += len(block["times"])
+                    bar.update(len(block["times"]))
+                bar.close()
                 self.times = np.concatenate(times).astype(np.float64)
         elif use_batch:
             self._validate_trajectory()
@@ -231,26 +241,22 @@ class AnalysisBase:
                 self.times = np.asarray(batch["times"], dtype=np.float64)
                 self._process_batch(batch)
         else:
-            show_progress = (
-                verbose if verbose is not None else self._verbose
-            )
             with self.timing.stage("io"):
+                from ..utils.progress import progress_bar
+
+                bar = progress_bar(
+                    total=self.n_frames,
+                    desc=type(self).__name__,
+                    disable=not show_progress,
+                )
                 for i, frame_index in enumerate(self.frames):
                     ts = self._trajectory[int(frame_index)]
                     self._frame_index = i
                     self._ts = ts
                     self.times[i] = ts.time
                     self._single_frame()
-                    if show_progress and (
-                        i % max(1, self.n_frames // 20) == 0
-                        or i == self.n_frames - 1
-                    ):
-                        print(
-                            f"\r{type(self).__name__}: frame "
-                            f"{i + 1}/{self.n_frames}",
-                            end="" if i < self.n_frames - 1 else "\n",
-                            flush=True,
-                        )
+                    bar.update(1)
+                bar.close()
         with self.timing.stage("compute"):
             self._conclude()
         self.timing.counters(

@@ -46,6 +46,18 @@ class ViscosityHelfand(AnalysisBase):
     fft : bool
         ``True`` (default): O(N log N) FFT evaluation of the Einstein
         differences. ``False``: reference-exact windowed summation.
+
+    Notes
+    -----
+    The reference implementation ships ONLY the windowed summation
+    (reference viscosity.py:210-226) — there is no ``fft`` option
+    upstream. This class defaults to ``fft=True`` because the FFT
+    evaluation is mathematically identical and asymptotically faster;
+    the two paths agree to ~1e-11 relative (tested), so results match
+    upstream to well beyond its own published tolerances. A user
+    comparing against upstream beyond decimal≈11 should pass
+    ``fft=False`` to reproduce the reference's exact floating-point
+    summation order.
     """
 
     def __init__(

@@ -143,8 +143,10 @@ def _deep_fft_fwd(re64, im64, inner: int, outer: int):
     # inner transforms over j1 for every (j2, w) column
     pair = _to_pairs(re64.reshape(inner, outer * w),
                      im64.reshape(inner, outer * w))
+    _fence(*pair)
     pair = _pf.fft_banded_pair(pair, wt=_DEEP_WT)
-    tre, tim = _from_pairs(pair)
+    tre, tim = _fence(*_from_pairs(pair))
+    del pair
     return _twiddle_and_outer(tre, tim, t["twc"], t["tws"], t["dc"],
                               t["ds"], inner, outer, w)
 
@@ -175,10 +177,27 @@ def _unpack_power(zr, zi):
     return p1, p2
 
 
+# fence eager stages once the working set is big enough that letting
+# the host race ahead would hold several stages' buffers live at once
+# (hardware-measured: N=2^17 x 768 series OOMed a 16 GB chip unfenced)
+_FENCE_BYTES = 256 * 1024 * 1024
+
+
+def _fence(*arrays):
+    if arrays[0].size * 8 * len(arrays) > _FENCE_BYTES:
+        jax.block_until_ready(arrays)
+    return arrays
+
+
 def raw_autocorr_deep(x, n_out: int):
     """Raw linear autocorrelation per column for engine-ineligible
     lengths. Contract identical to pallas_fft.raw_autocorr_pallas:
-    ``x`` (M, S) float64 zero-padded to M >= 2*series_length."""
+    ``x`` (M, S) float64 zero-padded to M >= 2*series_length.
+
+    The stages run EAGERLY (module docstring) and, at large shapes,
+    fence between stages: async dispatch would otherwise enqueue the
+    whole chain while every intermediate's buffer stays live —
+    multi-GB peaks the chip does not have."""
     m, s = x.shape
     inner, outer = _split_m(m)
 
@@ -188,10 +207,13 @@ def raw_autocorr_deep(x, n_out: int):
     re64 = x[:, :w]
     im64 = x[:, w:]
 
-    zr, zi = _deep_fft_fwd(re64, im64, inner, outer)
-    p1, p2 = _unpack_power(zr, zi)
+    zr, zi = _fence(*_deep_fft_fwd(re64, im64, inner, outer))
+    del x, re64, im64
+    p1, p2 = _fence(*_unpack_power(zr, zi))
+    del zr, zi
     # inverse of (p1 + i p2) by conjugation through the forward path
-    gr, gi = _deep_fft_fwd(p1, -p2, inner, outer)
+    gr, gi = _fence(*_deep_fft_fwd(p1, -p2, inner, outer))
+    del p1, p2
     inv_m = 1.0 / m
     gr = gr[:n_out] * inv_m
     gi = gi[:n_out] * (-inv_m)
