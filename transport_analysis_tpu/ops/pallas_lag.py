@@ -47,9 +47,8 @@ from jax.experimental.pallas import tpu as pltpu
 _ROW_BLOCK = 8
 _LAG_BLOCK = 128
 # pair profile: the output BlockSpec's lane dimension must be a
-# multiple of 128 on TPU, so the lag block stays at 128 despite the
-# ~15x per-lag op count (the static unroll compiles once per shape
-# and is cached)
+# multiple of 128 on TPU, so the lag block is 128 there too (the lag
+# sweep is an in-kernel fori_loop, so block size costs no program size)
 _LAG_BLOCK_PAIR = 128
 # band-sum exactness bound: band values <= ~68 grid units, so f32 tree
 # sums stay integer-exact for 68 * N < 2^24
@@ -58,25 +57,26 @@ _PAIR_MAX_FRAMES = 1 << 17
 
 def _lag_kernel(x_ref, out_ref, *, n_frames, lag_block, mode):
     """One (row-block, lag-block) program: the row block stays
-    VMEM-resident while a statically-unrolled sweep computes lag_block
-    consecutive lags, so each trajectory row is fetched from HBM once
-    per lag *block* rather than once per lag."""
+    VMEM-resident while a fori_loop sweeps lag_block consecutive lags,
+    so each trajectory row is fetched from HBM once per lag *block*
+    rather than once per lag. (A static unroll produces multi-thousand
+    -op Mosaic programs at 128-lag blocks that the remote compiler
+    chokes on — same finding as the pair kernel; per-lag results land
+    in the carry via a lane-iota select.)"""
     lag_base = pl.multiple_of(pl.program_id(1) * lag_block, lag_block)
-    x = x_ref[:, :n_frames]  # (RB, N) unshifted window
-    # one aligned dynamic slice per program; per-lag shifts below are
-    # static offsets into this register block (lane-dim dynamic slices
-    # must be 128-aligned on TPU)
-    span = x_ref[:, pl.ds(lag_base, n_frames + lag_block)]
-    frame_idx = jax.lax.broadcasted_iota(
-        jnp.int32, x.shape, 1
-    )
-    for l in range(lag_block):  # static unroll: stores use static cols
+    n = n_frames
+    x = x_ref[:, :n]  # (RB, N) unshifted window
+    span_len = n + lag_block
+    span = x_ref[:, pl.ds(lag_base, span_len)]
+    frame_idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    out_lanes = jax.lax.broadcasted_iota(
+        jnp.int32, (x.shape[0], lag_block), 1)
+
+    def body(l, out):
         lag = lag_base + l
         # lane-rotate the span left by l (expressed as a non-negative
         # right-rotate), so the first N lanes are x[i+lag]
-        span_len = n_frames + lag_block
-        shift = jnp.int32((span_len - l) % span_len)
-        shifted = pltpu.roll(span, shift, axis=1)[:, :n_frames]
+        shifted = pltpu.roll(span, span_len - l, axis=1)[:, :n]
         if mode == "acf":
             prod = x * shifted
         else:
@@ -84,8 +84,14 @@ def _lag_kernel(x_ref, out_ref, *, n_frames, lag_block, mode):
             prod = diff * diff
         # only i < N - lag contribute (shifted zeros are wrong for
         # 'einstein', and we want exact sums for both modes)
-        prod = jnp.where(frame_idx < (n_frames - lag), prod, 0.0)
-        out_ref[:, l] = jnp.sum(prod, axis=1)
+        prod = jnp.where(frame_idx < (n - lag), prod, 0.0)
+        s = jnp.sum(prod, axis=1)
+        return jnp.where(out_lanes == l, s[:, None], out)
+
+    out_ref[...] = jax.lax.fori_loop(
+        0, lag_block, body,
+        jnp.zeros((x.shape[0], lag_block), x.dtype),
+    )
 
 
 @partial(
@@ -94,7 +100,8 @@ def _lag_kernel(x_ref, out_ref, *, n_frames, lag_block, mode):
 def _lag_sums_transposed(xt, n_lags, mode, interpret=False):
     """xt: (S, N) rows → (S, n_lags) windowed lag sums."""
     s, n = xt.shape
-    lags_padded = -(-n_lags // _LAG_BLOCK) * _LAG_BLOCK
+    lag_block = 8 if interpret else _LAG_BLOCK
+    lags_padded = -(-n_lags // lag_block) * lag_block
     rows_padded = -(-s // _ROW_BLOCK) * _ROW_BLOCK
     # pad: rows to the sublane tile, frames by the max shift we index
     x_padded = jnp.pad(
@@ -103,9 +110,9 @@ def _lag_sums_transposed(xt, n_lags, mode, interpret=False):
 
     out = pl.pallas_call(
         partial(
-            _lag_kernel, n_frames=n, lag_block=_LAG_BLOCK, mode=mode
+            _lag_kernel, n_frames=n, lag_block=lag_block, mode=mode
         ),
-        grid=(rows_padded // _ROW_BLOCK, lags_padded // _LAG_BLOCK),
+        grid=(rows_padded // _ROW_BLOCK, lags_padded // lag_block),
         in_specs=[
             pl.BlockSpec(
                 (_ROW_BLOCK, n + lags_padded),
@@ -114,7 +121,7 @@ def _lag_sums_transposed(xt, n_lags, mode, interpret=False):
             )
         ],
         out_specs=pl.BlockSpec(
-            (_ROW_BLOCK, _LAG_BLOCK),
+            (_ROW_BLOCK, lag_block),
             lambda i, j: (i, j),
             memory_space=pltpu.VMEM,
         ),
