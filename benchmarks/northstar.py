@@ -123,7 +123,7 @@ def _host_kernel():
     return step
 
 
-def auto_chunk(n_frames: int, hbm_budget_gb: float = 6.0) -> int:
+def auto_chunk(n_frames: int, hbm_budget_gb: float = 4.5) -> int:
     """Largest power-of-two atom chunk whose correlation pass fits
     HBM. Memory model (measured round 4): the deep/banded FFT of a
     (M, 2w) packed block peaks at ~M·w·48 bytes (f64 source + four

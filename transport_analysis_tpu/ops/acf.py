@@ -115,8 +115,11 @@ def raw_autocorr(x: jax.Array) -> jax.Array:
             x_pad = jnp.pad(x, ((0, M - N), (0, 0)))
             return pallas_fft.raw_autocorr_pallas(x_pad, N)
         if deep_acf.supported(M, x.shape[1]):
-            x_pad = jnp.pad(x, ((0, M - N), (0, 0)))
-            return deep_acf.raw_autocorr_deep(x_pad, N)
+            # padded operand passed as a temporary: the deep path
+            # frees its f64 sources mid-chain (HBM peak discipline)
+            return deep_acf.raw_autocorr_deep(
+                jnp.pad(x, ((0, M - N), (0, 0))), N
+            )
     from .fft import raw_autocorr_matmul
 
     x_pad = jnp.pad(x, ((0, M - N), (0, 0)))
@@ -167,8 +170,9 @@ def raw_autocorr_sumlast(x: jax.Array) -> jax.Array:
         from . import deep_acf, pallas_fft
 
         if deep_acf.supported(M, S) and not pallas_fft.supported(M, S):
-            x_pad = jnp.pad(x.reshape(N, S), ((0, M - N), (0, 0)))
-            raw = deep_acf.raw_autocorr_deep(x_pad, N)
+            raw = deep_acf.raw_autocorr_deep(
+                jnp.pad(x.reshape(N, S), ((0, M - N), (0, 0))), N
+            )
             return jnp.sum(raw.reshape(N, P, d), axis=-1)
         if pallas_fft.supported(M, S):
             # Post-process in the double-float pair domain: emulated-

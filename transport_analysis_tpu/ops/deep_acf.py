@@ -85,12 +85,6 @@ def _outer_tables(inner: int, outer: int):
     }
 
 
-def _to_pairs(re64, im64):
-    hi_r, lo_r = _pf._split_pair(re64)
-    hi_i, lo_i = _pf._split_pair(im64)
-    return hi_r, lo_r, hi_i, lo_i
-
-
 @jax.jit
 def _from_pairs(pair):
     re = pair[0].astype(jnp.float64) + pair[1].astype(jnp.float64)
@@ -135,20 +129,27 @@ def _twiddle_and_outer(re, im, twc, tws, dc, ds,
     return zr, zi
 
 
-def _deep_fft_fwd(re64, im64, inner: int, outer: int):
-    """Forward FFT of (M, w) complex float64 via engine + outer level;
-    natural frequency order out, float64 in/out."""
-    m, w = re64.shape
+def _deep_fft_fwd_pair(pair, inner: int, outer: int, w: int):
+    """Forward FFT via engine + outer level. ``pair`` is the complex
+    double-float (re_hi, re_lo, im_hi, im_lo), each (inner, outer*w)
+    float32 — DONATED to the engine, so callers must drop their f64
+    sources before calling (HBM peak discipline). float64 out."""
     t = _outer_tables(inner, outer)
-    # inner transforms over j1 for every (j2, w) column
-    pair = _to_pairs(re64.reshape(inner, outer * w),
-                     im64.reshape(inner, outer * w))
-    _fence(*pair)
     pair = _pf.fft_banded_pair(pair, wt=_DEEP_WT)
     tre, tim = _fence(*_from_pairs(pair))
     del pair
     return _twiddle_and_outer(tre, tim, t["twc"], t["tws"], t["dc"],
                               t["ds"], inner, outer, w)
+
+
+def _pairs_from_columns(re64, im64, inner: int, outer: int, w: int):
+    """(M, w) f64 halves → engine-layout f32 pairs, freeing nothing
+    (the caller controls the f64 operands' lifetime)."""
+    return tuple(
+        a.reshape(inner, outer * w)
+        for part in (re64, im64)
+        for a in _pf._split_pair(part)
+    )
 
 
 @jax.jit
@@ -197,23 +198,36 @@ def raw_autocorr_deep(x, n_out: int):
     The stages run EAGERLY (module docstring) and, at large shapes,
     fence between stages: async dispatch would otherwise enqueue the
     whole chain while every intermediate's buffer stays live —
-    multi-GB peaks the chip does not have."""
+    multi-GB peaks the chip does not have. For the same reason the
+    float64 operands convert to f32 pairs FIRST and are freed before
+    the engine runs (the engine donates its pair inputs); pass ``x``
+    as a temporary (no caller-held reference) so the rebinds here
+    actually release HBM."""
     m, s = x.shape
     inner, outer = _split_m(m)
 
     half = (s + 1) // 2
     w = -(-half // _DEEP_WT) * _DEEP_WT
     x = jnp.pad(x, ((0, 0), (0, 2 * w - s)))
-    re64 = x[:, :w]
-    im64 = x[:, w:]
+    _fence(x)
+    hi, lo = _pf._split_pair(x)
+    del x  # drop the (M, 2w) f64 source before the heavy stages
+    _fence(hi, lo)
+    pair = (hi[:, :w], lo[:, :w], hi[:, w:], lo[:, w:])
+    del hi, lo
+    pair = tuple(a.reshape(inner, outer * w) for a in pair)
+    _fence(*pair)
 
-    zr, zi = _fence(*_deep_fft_fwd(re64, im64, inner, outer))
-    del x, re64, im64
+    zr, zi = _fence(*_deep_fft_fwd_pair(pair, inner, outer, w))
+    del pair
     p1, p2 = _fence(*_unpack_power(zr, zi))
     del zr, zi
     # inverse of (p1 + i p2) by conjugation through the forward path
-    gr, gi = _fence(*_deep_fft_fwd(p1, -p2, inner, outer))
+    pair = _pairs_from_columns(p1, -p2, inner, outer, w)
     del p1, p2
+    _fence(*pair)
+    gr, gi = _fence(*_deep_fft_fwd_pair(pair, inner, outer, w))
+    del pair
     inv_m = 1.0 / m
     gr = gr[:n_out] * inv_m
     gi = gi[:n_out] * (-inv_m)
