@@ -174,3 +174,32 @@ def test_vacf_out_of_core_sharded_matches_serial(trr_universe, tmp_path):
         trr_universe, str(tmp_path / "sp_plain"), atom_chunk=4
     )
     assert_allclose(got, ref, rtol=1e-10, atol=1e-12)
+
+
+def test_helfand_out_of_core_sharded_matches_serial(
+    trr_universe, tmp_path
+):
+    """Spooled m·v·x accumulator × frame-sharded Einstein FFT == plain
+    out-of-core Helfand: the second half of the composed north star."""
+    import jax
+    from jax.sharding import Mesh
+
+    from transport_analysis_tpu.parallel.out_of_core import (
+        helfand_out_of_core, helfand_out_of_core_sharded,
+    )
+
+    try:
+        trr_universe.atoms.masses
+    except Exception:
+        trr_universe.add_TopologyAttr("masses", np.full(10, 2.0))
+    mesh = Mesh(np.array(jax.devices()[:8]), ("frames",))
+    got_ts, got_visc = helfand_out_of_core_sharded(
+        trr_universe, str(tmp_path / "hsp_sh"), mesh, atom_chunk=4,
+        linear_fit_window=(2, 10),
+    )
+    ref_ts, ref_visc = helfand_out_of_core(
+        trr_universe, str(tmp_path / "hsp_plain"), atom_chunk=4,
+        linear_fit_window=(2, 10),
+    )
+    assert_allclose(got_ts, ref_ts, rtol=1e-9, atol=1e-12)
+    assert got_visc == pytest.approx(ref_visc, rel=1e-8)

@@ -329,3 +329,75 @@ def vacf_out_of_core_sharded(
     return correlate_spools(
         kernel, paths, len(ag), checkpoint=checkpoint
     )
+
+
+def helfand_out_of_core_sharded(
+    universe_or_ag,
+    spool_dir: str,
+    mesh,
+    axis_name: str = "frames",
+    atom_chunk: int = 4096,
+    dim: Sequence[int] = (0, 1, 2),
+    temp_avg: float = 300.0,
+    start=None,
+    stop=None,
+    step=None,
+    checkpoint: Optional[str] = None,
+    linear_fit_window: Optional[tuple] = None,
+):
+    """Out-of-core Einstein–Helfand viscosity with the FFT frame axis
+    sharded over a mesh — the second half of the composed north star
+    (VACF + Helfand at 100k atoms × 1M frames): the m·v·x accumulator
+    spools through disk per atom chunk while each chunk's Einstein
+    lag-difference curve runs the distributed four-step FFT
+    (parallel/sharded_fft.py ``sharded_msd_fft`` with the Helfand
+    component-mean convention).
+
+    Semantics match :func:`helfand_out_of_core` (which matches
+    ``ViscosityHelfand``; reference viscosity.py:201-245). Returns
+    ``(timeseries, viscosity_or_None)``.
+    """
+    from .sharded_fft import sharded_msd_fft
+    from ..utils.units import constants
+
+    ag, reader, frames = _resolve(universe_or_ag, start, stop, step)
+    masses = np.asarray(ag.masses, np.float64)
+    indices = ag.indices
+    dim = list(dim)
+
+    def transform(batch):
+        v = batch["velocities"][:, indices][:, :, dim]
+        x = batch["positions"][:, indices][:, :, dim]
+        return masses[None, :, None] * v.astype(np.float64) * x
+
+    paths = build_spools(
+        reader, frames, indices, dim, spool_dir, atom_chunk,
+        field="mvx", transform=transform, aux=("volumes", "times"),
+    )
+    volumes = load_aux(spool_dir, "mvx")["volumes"]
+    if np.any(volumes == 0.0):
+        from ..utils.errors import NoDataError
+
+        raise NoDataError(
+            "viscosity computation requires a nonzero box volume in "
+            "every frame (matches ViscosityHelfand's in-memory check)"
+        )
+    vol_avg = float(np.mean(volumes))
+
+    def kernel(block):
+        return sharded_msd_fft(
+            np.asarray(block, dtype=np.float64), mesh, axis_name,
+            reduce_mode="mean",
+        )
+
+    raw = correlate_spools(kernel, paths, len(ag), checkpoint=checkpoint)
+    k_B = constants["Boltzmann_constant"]
+    timeseries = raw / (2.0 * k_B * vol_avg * temp_avg)
+
+    viscosity = None
+    if linear_fit_window is not None:
+        lo, hi = linear_fit_window
+        lagtimes = np.arange(len(timeseries), dtype=np.float64)
+        slope, _ = np.polyfit(lagtimes[lo:hi], timeseries[lo:hi], 1)
+        viscosity = slope
+    return timeseries, viscosity
