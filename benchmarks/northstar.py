@@ -74,6 +74,11 @@ def _analyze(vel, pos, masses):
     """
     vacf_sum = ops.acf_fft(vel).sum(axis=1)  # (N,)
     accum = masses[None, :, None] * vel * pos
+    # N=2^20 chunks brush the 16 GB HBM ceiling: drop the velocity/
+    # position blocks before the Einstein pass (callers pass
+    # temporaries, so these dels release the buffers), and hand accum
+    # over as this frame's only live (N, chunk, 3) array
+    del vel, pos
     helf_sum = ops.einstein_difference_fft(accum, "mean").sum(axis=1)
     return vacf_sum, helf_sum
 

@@ -102,6 +102,20 @@ class TestUniverse:
         u.add_TopologyAttr("masses", [16.0])
         assert_allclose(u.atoms.masses, [16.0])
 
+    def test_add_topology_attr_per_atom_reduce(self):
+        # per-atom values constant within each residue reduce cleanly
+        u = ta.Universe.empty(4, n_residues=2, atom_resindex=[0, 0, 1, 1])
+        u.add_TopologyAttr("resids", [7, 7, 9, 9])
+        assert list(u.atoms.resids) == [7, 7, 9, 9]
+
+    def test_add_topology_attr_per_atom_conflict_raises(self):
+        # distinct per-atom values on a residue-level attr must not be
+        # silently collapsed (regression: resids 1..10 on a 1-residue
+        # empty Universe used to become all-10)
+        u = ta.Universe.empty(10)
+        with pytest.raises(ValueError, match="not constant within"):
+            u.add_TopologyAttr("resids", np.arange(1, 11))
+
     def test_set_dimensions_persists(self):
         u = ta.Universe.empty(1, n_frames=3)
         setter = set_dimensions([2, 2, 2, 90, 90, 90])

@@ -91,9 +91,21 @@ class Topology:
             elif len(values) == size:
                 arr = values.astype(dtype)
             elif level != "atom" and len(values) == self.n_atoms:
-                # given per-atom, reduce to per-residue via first occurrence
+                # given per-atom: reduce to per-residue, but only when the
+                # values are constant within each residue — silently
+                # collapsing distinct per-atom values would lose data
+                # (e.g. resids 1..10 on a 1-residue Universe.empty)
+                values = values.astype(dtype)
                 arr = np.full(size, default, dtype=dtype)
-                arr[self.atom_resindex] = values.astype(dtype)
+                arr[self.atom_resindex] = values
+                if not np.array_equal(arr[self.atom_resindex], values):
+                    raise ValueError(
+                        f"{name}: expected {size} values (one per "
+                        f"{level}), got {len(values)} per-atom values "
+                        f"that are not constant within each {level}; "
+                        "build the Universe with n_residues/"
+                        "atom_resindex matching the data"
+                    )
             else:
                 raise ValueError(
                     f"{name}: expected {size} values, got {len(values)}"

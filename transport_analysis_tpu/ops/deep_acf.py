@@ -142,16 +142,6 @@ def _deep_fft_fwd_pair(pair, inner: int, outer: int, w: int):
                               t["ds"], inner, outer, w)
 
 
-def _pairs_from_columns(re64, im64, inner: int, outer: int, w: int):
-    """(M, w) f64 halves → engine-layout f32 pairs, freeing nothing
-    (the caller controls the f64 operands' lifetime)."""
-    return tuple(
-        a.reshape(inner, outer * w)
-        for part in (re64, im64)
-        for a in _pf._split_pair(part)
-    )
-
-
 @jax.jit
 def _unpack_power(zr, zi):
     """Hermitian two-for-one unpack + power spectra (float64, natural
@@ -213,18 +203,33 @@ def raw_autocorr_deep(x, n_out: int):
     hi, lo = _pf._split_pair(x)
     del x  # drop the (M, 2w) f64 source before the heavy stages
     _fence(hi, lo)
-    pair = (hi[:, :w], lo[:, :w], hi[:, w:], lo[:, w:])
+    pair = tuple(
+        src[:, cols].reshape(inner, outer * w)
+        for src, cols in (
+            (hi, slice(0, w)), (lo, slice(0, w)),
+            (hi, slice(w, None)), (lo, slice(w, None)),
+        )
+    )
     del hi, lo
-    pair = tuple(a.reshape(inner, outer * w) for a in pair)
     _fence(*pair)
 
     zr, zi = _fence(*_deep_fft_fwd_pair(pair, inner, outer, w))
     del pair
     p1, p2 = _fence(*_unpack_power(zr, zi))
     del zr, zi
-    # inverse of (p1 + i p2) by conjugation through the forward path
-    pair = _pairs_from_columns(p1, -p2, inner, outer, w)
-    del p1, p2
+    # inverse of (p1 + i p2) by conjugation through the forward path;
+    # convert one f64 operand at a time so at most one of them
+    # coexists with its f32 pair (2^20-frame chunks brush 16 GB HBM)
+    ih, il = _pf._split_pair(-p2)
+    del p2
+    _fence(ih, il)
+    rh, rl = _pf._split_pair(p1)
+    del p1
+    _fence(rh, rl)
+    pair = tuple(
+        a.reshape(inner, outer * w) for a in (rh, rl, ih, il)
+    )
+    del rh, rl, ih, il
     _fence(*pair)
     gr, gi = _fence(*_deep_fft_fwd_pair(pair, inner, outer, w))
     del pair
