@@ -97,8 +97,22 @@ def _host_chunk(n_frames, chunk, seed):
 
 
 def _device_kernel(n_frames, chunk):
+    """Two passes per chunk, each synthesizing its own input so only
+    ONE (N, chunk, 3) f64 array is live alongside the FFT stages
+    (synthesis is ~free on device; holding vel+pos across the VACF
+    would cost a second N*chunk*24 B against the HBM peak — the
+    difference between chunk=16 and chunk=64 fitting at N=2^20)."""
+
     @jax.jit
-    def synth(key):
+    def synth_vel(key):
+        kv = jax.random.split(key, 3)[0]
+        vel32 = 5.0 * jax.random.normal(
+            kv, (n_frames, chunk, 3), jnp.float32
+        )
+        return vel32.astype(jnp.float64)
+
+    @jax.jit
+    def synth_accum(key):
         kv, kp, km = jax.random.split(key, 3)
         vel32 = 5.0 * jax.random.normal(
             kv, (n_frames, chunk, 3), jnp.float32
@@ -110,12 +124,23 @@ def _device_kernel(n_frames, chunk):
             )
         )
         masses = jax.random.uniform(km, (chunk,), jnp.float64, 1.0, 16.0)
-        return (vel32.astype(jnp.float64), pos32.astype(jnp.float64),
-                masses)
+        return (masses[:, None] * vel32.astype(jnp.float64)
+                * pos32.astype(jnp.float64))
 
     def step(key):
-        return _analyze(*synth(key))  # see _analyze: no outer jit
+        vel = synth_vel(key)
+        # readback fences pass 1 so its buffers are truly free before
+        # pass 2 enqueues (see _analyze: no outer jit)
+        vs = np.asarray(ops.acf_fft(vel).sum(axis=1))
+        del vel
+        accum = synth_accum(key)
+        hs = np.asarray(
+            ops.einstein_difference_fft(accum, "mean").sum(axis=1)
+        )
+        return vs, hs
 
+    step.synth_vel = synth_vel
+    step.synth_accum = synth_accum
     return step
 
 
@@ -128,20 +153,26 @@ def _host_kernel():
     return step
 
 
-def auto_chunk(n_frames: int, hbm_budget_gb: float = 4.5) -> int:
+def auto_chunk(n_frames: int, hbm_budget_gb: float = 13.5) -> int:
     """Largest power-of-two atom chunk whose correlation pass fits
     HBM. Memory model (measured round 4): the deep/banded FFT of a
     (M, 2w) packed block peaks at ~M·w·48 bytes (f64 source + four
-    f32 pair arrays + stage temporaries), with w ≈ 3·chunk/2 packed
-    complex columns and M = 2·next_pow2(N). The Helfand pass adds the
-    (N, chunk, 3) f64 accumulator (~M·chunk·12)."""
-    m = 2 * next_pow_2(n_frames)
+    f32 pair arrays + stage temporaries), where M = 2·next_pow2(N)
+    and w = the 3·chunk/2 packed complex columns rounded UP to the
+    128-column pad tile — chunks below ~85 atoms all cost the same
+    floor, so tiny chunks waste up to 5× (measured: chunk=16 at
+    N=2^20 brushed 16 GB exactly like chunk=64 does). Each two-pass
+    stage (see _device_kernel) additionally holds one (N, chunk, 3)
+    f64 input (N·chunk·24 B)."""
     budget = hbm_budget_gb * 1e9
-    chunk = int(budget / (m * 48 * 1.5))
-    pow2 = 1
-    while pow2 * 2 <= chunk:
-        pow2 *= 2
-    return max(16, min(1024, pow2))
+    m = 2 * next_pow_2(n_frames)
+    best = 16
+    for chunk in (16, 32, 64, 128, 256, 512, 1024, 2048):
+        w = -(-3 * chunk // 2 // 128) * 128
+        peak = m * w * 48.0 + n_frames * chunk * 24.0
+        if peak <= budget:
+            best = chunk
+    return best
 
 
 def main():
@@ -166,44 +197,53 @@ def main():
     helf_acc = np.zeros(n_frames, np.float64)
 
     if args.stages:
-        # fenced per-stage walls of ONE chunk (synth / VACF / Helfand)
-        step = _device_kernel(n_frames, chunk)
+        # fenced per-stage walls of ONE chunk, two-pass layout
+        # (synth_vel / VACF / synth_accum / Helfand) — warm once, then
+        # time a second chunk so compile cost is excluded
+        kernels = _device_kernel(n_frames, chunk)
         key = jax.random.PRNGKey(0)
-        np.asarray(step(jax.random.fold_in(key, 10**6))[0])  # warm
+        kernels(jax.random.fold_in(key, 10**6))  # warm (fenced internally)
 
-        @jax.jit
-        def _synth_only(key):
-            kv, kp, km = jax.random.split(key, 3)
-            vel32 = 5.0 * jax.random.normal(
-                kv, (n_frames, chunk, 3), jnp.float32)
-            pos32 = (jnp.cumsum(vel32, axis=0) * jnp.float32(0.002)
-                     + jax.random.uniform(
-                         kp, (1, chunk, 3), jnp.float32, 0.0, 20.0))
-            masses = jax.random.uniform(
-                km, (chunk,), jnp.float64, 1.0, 16.0)
-            return (vel32.astype(jnp.float64),
-                    pos32.astype(jnp.float64), masses)
+        synth_vel = kernels.synth_vel
+        synth_accum = kernels.synth_accum
+        k = jax.random.fold_in(key, 1)
+        dev = jax.local_devices()[0]
 
-        stages = {}
+        def _peak_gb():
+            stats = getattr(dev, "memory_stats", lambda: None)() or {}
+            return round(stats.get("peak_bytes_in_use", 0) / 1e9, 2)
+
+        stages, hbm_peaks = {}, {}
         t0 = time.perf_counter()
-        vel, pos, masses = _synth_only(jax.random.fold_in(key, 1))
-        np.asarray(vel[-1, -1])
-        stages["synth"] = time.perf_counter() - t0
+        vel = synth_vel(k)
+        # fence via a cheap reduction: slicing [-1, -1] would compile a
+        # dynamic-slice copy whose (8,128) tiling pads the minor dim
+        # 3 -> 128 lanes (34 GB for a 0.8 GB array)
+        np.asarray(jnp.sum(vel))
+        stages["synth_vel"] = time.perf_counter() - t0
+        hbm_peaks["synth_vel"] = _peak_gb()
         t0 = time.perf_counter()
-        vs = ops.acf_fft(vel).sum(axis=1)
-        np.asarray(vs[-1])
+        np.asarray(ops.acf_fft(vel).sum(axis=1)[-1])
         stages["vacf_fft"] = time.perf_counter() - t0
+        hbm_peaks["vacf_fft"] = _peak_gb()
+        del vel
         t0 = time.perf_counter()
-        accum = masses[None, :, None] * vel * pos
-        hs = ops.einstein_difference_fft(accum, "mean").sum(axis=1)
-        np.asarray(hs[-1])
+        accum = synth_accum(k)
+        np.asarray(jnp.sum(accum))  # reduction fence (see synth_vel)
+        stages["synth_accum"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        np.asarray(
+            ops.einstein_difference_fft(accum, "mean").sum(axis=1)[-1]
+        )
         stages["helfand_fft"] = time.perf_counter() - t0
+        hbm_peaks["helfand_fft"] = _peak_gb()
         print(json.dumps({
             "metric": (
                 f"north-star chunk stages (N={n_frames}, "
                 f"chunk={chunk}, f64)"),
             "stages_s": {k: round(v, 2) for k, v in stages.items()},
             "chunk_wall_s": round(sum(stages.values()), 2),
+            "hbm_peak_gb": hbm_peaks,
         }))
         return
 

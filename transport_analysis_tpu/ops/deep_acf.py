@@ -85,17 +85,53 @@ def _outer_tables(inner: int, outer: int):
     }
 
 
-@jax.jit
+@functools.partial(jax.jit, donate_argnums=(0,))
 def _from_pairs(pair):
     re = pair[0].astype(jnp.float64) + pair[1].astype(jnp.float64)
     im = pair[2].astype(jnp.float64) + pair[3].astype(jnp.float64)
     return re, im
 
 
+@functools.partial(
+    jax.jit, static_argnames=("inner", "outer", "w", "s"),
+    donate_argnums=(0,),
+)
+def _prepare_pair(x, inner: int, outer: int, w: int, s: int):
+    """(M, s) f64 → engine-layout f32 pairs in ONE donated program:
+    pad, double-float split, and the re/im column slices fuse, so the
+    peak is the donated input + the four outputs — eager composition
+    measured ~2× that (every intermediate materialized)."""
+    x = jnp.pad(x, ((0, 0), (0, 2 * w - s)))
+    hi, lo = _pf._split_pair(x)
+    return tuple(
+        src[:, cols].reshape(inner, outer * w)
+        for src, cols in (
+            (hi, slice(0, w)), (lo, slice(0, w)),
+            (hi, slice(w, None)), (lo, slice(w, None)),
+        )
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("inner", "outer", "w"),
+    donate_argnums=(0, 1),
+)
+def _power_to_pair(p1, p2, inner: int, outer: int, w: int):
+    """Power spectra → engine-layout pairs of (p1 − i·p2) (the
+    conjugation that turns the forward machinery into the inverse).
+    Donated: p1/p2 die here."""
+    rh, rl = _pf._split_pair(p1)
+    ih, il = _pf._split_pair(-p2)
+    return tuple(
+        a.reshape(inner, outer * w) for a in (rh, rl, ih, il)
+    )
+
+
 _K1_SLAB = 8192  # k1 rows per sequential slab in the outer stage
 
 
-@functools.partial(jax.jit, static_argnames=("inner", "outer", "w"))
+@functools.partial(jax.jit, static_argnames=("inner", "outer", "w"),
+                   donate_argnums=(0, 1))
 def _twiddle_and_outer(re, im, twc, tws, dc, ds,
                        inner: int, outer: int, w: int):
     """(T * W_M^{k1 j2}) then DFT_{n_outer} over j2, in float64 with
@@ -142,30 +178,24 @@ def _deep_fft_fwd_pair(pair, inner: int, outer: int, w: int):
                               t["ds"], inner, outer, w)
 
 
-@jax.jit
+@functools.partial(jax.jit, donate_argnums=(0, 1))
 def _unpack_power(zr, zi):
     """Hermitian two-for-one unpack + power spectra (float64, natural
-    frequency order — same algebra as ops/fft._autocorr_packed),
-    column-chunked with lax.map to bound the ~6 M-row f64 temporaries."""
-    m, w = zr.shape
-    n_c = max(1, w // 32)
-    zr = jnp.moveaxis(zr.reshape(m, n_c, w // n_c), 1, 0)
-    zi = jnp.moveaxis(zi.reshape(m, n_c, w // n_c), 1, 0)
+    frequency order — same algebra as ops/fft._autocorr_packed).
 
-    def slab(args):
-        r, i = args
-        r_rev = jnp.roll(jnp.flip(r, axis=0), 1, axis=0)
-        i_rev = jnp.roll(jnp.flip(i, axis=0), 1, axis=0)
-        f1r = 0.5 * (r + r_rev)
-        f1i = 0.5 * (i - i_rev)
-        f2r = 0.5 * (i + i_rev)
-        f2i = 0.5 * (r_rev - r)
-        return f1r * f1r + f1i * f1i, f2r * f2r + f2i * f2i
-
-    p1, p2 = jax.lax.map(slab, (zr, zi))
-    p1 = jnp.moveaxis(p1, 0, 1).reshape(m, w)
-    p2 = jnp.moveaxis(p2, 0, 1).reshape(m, w)
-    return p1, p2
+    Straight-line on purpose: the reversal feeds a fused elementwise
+    chain, and donation aliases zr→p1 / zi→p2 (same shape/dtype), so
+    the peak is ~inputs + one reversed temp set. An earlier lax.map
+    column-slab version transposed the full arrays TWICE (moveaxis in
+    and out) — four extra whole-array copies that were the #1
+    contributor to the deep path's 16 GB OOM at N=2^17 × 1536."""
+    r_rev = jnp.roll(jnp.flip(zr, axis=0), 1, axis=0)
+    i_rev = jnp.roll(jnp.flip(zi, axis=0), 1, axis=0)
+    f1r = 0.5 * (zr + r_rev)
+    f1i = 0.5 * (zi - i_rev)
+    f2r = 0.5 * (zi + i_rev)
+    f2i = 0.5 * (r_rev - zr)
+    return f1r * f1r + f1i * f1i, f2r * f2r + f2i * f2i
 
 
 # fence eager stages once the working set is big enough that letting
@@ -173,10 +203,37 @@ def _unpack_power(zr, zi):
 # (hardware-measured: N=2^17 x 768 series OOMed a 16 GB chip unfenced)
 _FENCE_BYTES = 256 * 1024 * 1024
 
+# TRANSPORT_ANALYSIS_TPU_DEEP_HBM_DEBUG=1 prints device memory stats at
+# every fence point (calibrates chunk-size memory models; dev-only)
+import os as _os
 
-def _fence(*arrays):
-    if arrays[0].size * 8 * len(arrays) > _FENCE_BYTES:
+_HBM_DEBUG = bool(_os.environ.get("TRANSPORT_ANALYSIS_TPU_DEEP_HBM_DEBUG"))
+
+
+_last_fence_t = [None]
+
+
+def _fence(*arrays, tag: str = ""):
+    if _HBM_DEBUG or arrays[0].size * 8 * len(arrays) > _FENCE_BYTES:
         jax.block_until_ready(arrays)
+        if _HBM_DEBUG:
+            import time as _time
+
+            # block_until_ready does not reliably fence on the
+            # tunneled backend (BENCH_NOTES "Measurement integrity");
+            # a 1-element readback does
+            np.asarray(arrays[0][:1, :1])
+            now = _time.perf_counter()
+            dt = (now - _last_fence_t[0]) if _last_fence_t[0] else 0.0
+            _last_fence_t[0] = now
+            stats = getattr(
+                jax.local_devices()[0], "memory_stats", lambda: None
+            )() or {}
+            print(
+                f"[deep_hbm] {tag or 'fence'}: +{dt:.2f}s "
+                f"in_use {stats.get('bytes_in_use', 0) / 1e9:.2f} GB",
+                flush=True,
+            )
     return arrays
 
 
@@ -196,44 +253,33 @@ def raw_autocorr_deep(x, n_out: int):
     m, s = x.shape
     inner, outer = _split_m(m)
 
+    if _HBM_DEBUG:
+        import time as _time
+
+        _last_fence_t[0] = _time.perf_counter()
+        print("[deep_hbm] enter", flush=True)
+
     half = (s + 1) // 2
     w = -(-half // _DEEP_WT) * _DEEP_WT
-    x = jnp.pad(x, ((0, 0), (0, 2 * w - s)))
-    _fence(x)
-    hi, lo = _pf._split_pair(x)
-    del x  # drop the (M, 2w) f64 source before the heavy stages
-    _fence(hi, lo)
-    pair = tuple(
-        src[:, cols].reshape(inner, outer * w)
-        for src, cols in (
-            (hi, slice(0, w)), (lo, slice(0, w)),
-            (hi, slice(w, None)), (lo, slice(w, None)),
-        )
-    )
-    del hi, lo
-    _fence(*pair)
+    pair = _fence(*_prepare_pair(x, inner, outer, w, s), tag="prepare")
+    del x  # donated to _prepare_pair
 
-    zr, zi = _fence(*_deep_fft_fwd_pair(pair, inner, outer, w))
+    zr, zi = _fence(*_deep_fft_fwd_pair(pair, inner, outer, w),
+                    tag="fwd")
     del pair
-    p1, p2 = _fence(*_unpack_power(zr, zi))
+    p1, p2 = _fence(*_unpack_power(zr, zi), tag="power")
     del zr, zi
-    # inverse of (p1 + i p2) by conjugation through the forward path;
-    # convert one f64 operand at a time so at most one of them
-    # coexists with its f32 pair (2^20-frame chunks brush 16 GB HBM)
-    ih, il = _pf._split_pair(-p2)
-    del p2
-    _fence(ih, il)
-    rh, rl = _pf._split_pair(p1)
-    del p1
-    _fence(rh, rl)
-    pair = tuple(
-        a.reshape(inner, outer * w) for a in (rh, rl, ih, il)
-    )
-    del rh, rl, ih, il
-    _fence(*pair)
-    gr, gi = _fence(*_deep_fft_fwd_pair(pair, inner, outer, w))
+    # inverse of (p1 + i p2) by conjugation through the forward path
+    pair = _fence(*_power_to_pair(p1, p2, inner, outer, w),
+                  tag="power_to_pair")
+    del p1, p2
+    gr, gi = _fence(*_deep_fft_fwd_pair(pair, inner, outer, w),
+                    tag="inv")
     del pair
     inv_m = 1.0 / m
     gr = gr[:n_out] * inv_m
     gi = gi[:n_out] * (-inv_m)
-    return jnp.concatenate([gr, gi], axis=1)[:, :s]
+    out = jnp.concatenate([gr, gi], axis=1)[:, :s]
+    if _HBM_DEBUG:
+        _fence(out, tag="deep_done")
+    return out
