@@ -101,6 +101,29 @@ class TestCompositionAlgebra:
         assert np.max(np.abs(out - ref)) / np.abs(ref).max() < 1e-11
 
 
+class TestUnpackPowerSlabs:
+    """The row-slab Hermitian unpack (the M >= 2^18 HBM fix) is
+    bit-identical to the straight-line formulation."""
+
+    @pytest.mark.parametrize("m,slab", [(1024, 128), (4096, 512)])
+    def test_slab_matches_straightline(self, monkeypatch, m, slab):
+        rng = np.random.default_rng(5)
+        w = 8
+        zr = rng.standard_normal((m, w))
+        zi = rng.standard_normal((m, w))
+        # straight-line reference (slab gate off: m <= _UNPACK_SLAB)
+        want = deep_acf._unpack_power(jnp.asarray(zr), jnp.asarray(zi))
+        want = tuple(np.asarray(a) for a in want)
+        monkeypatch.setattr(deep_acf, "_UNPACK_SLAB", slab)
+        # pad columns so the jit cache can't reuse the unslabbed trace
+        zr_p = np.concatenate([zr, np.zeros((m, 1))], axis=1)
+        zi_p = np.concatenate([zi, np.zeros((m, 1))], axis=1)
+        got = deep_acf._unpack_power(jnp.asarray(zr_p), jnp.asarray(zi_p))
+        got = tuple(np.asarray(a)[:, :w] for a in got)
+        for a, b in zip(want, got):
+            np.testing.assert_array_equal(a, b)
+
+
 class TestDispatchWiring:
     """ops.acf dispatch consults deep_acf for engine-ineligible M."""
 

@@ -1,0 +1,128 @@
+"""fft_precision: the trimmed-band precision ladder.
+
+The profiles trade band pairs (GEMM flops) for truncation error in
+the banded float64 engine (ops/pallas_fft.py) and the deep
+composition's Ozaki outer DFT (ops/deep_acf.py, ops/ozaki.py). On the
+CPU suite the Pallas engine never runs, but the Ozaki complex product
+does — so the numeric ladder is validated there, and the context
+manager's dispatch plumbing is validated via the profile hooks the
+TPU paths read (tests/test_tpu_equivalence.py covers the on-hardware
+end-to-end grades).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from transport_analysis_tpu import ops
+from transport_analysis_tpu.ops import pallas_fft as PF
+from transport_analysis_tpu.ops.ozaki import complex_dft_matmul
+
+
+class TestContextManager:
+    def test_named_profiles_set_and_restore(self):
+        assert PF._profile(jnp.float64) == (PF._N_BANDS, PF._MAX_GROUP)
+        with ops.fft_precision("medium"):
+            assert PF._profile(jnp.float64) == (5, 4)
+        assert PF._profile(jnp.float64) == (PF._N_BANDS, PF._MAX_GROUP)
+
+    def test_exact_is_default(self):
+        with ops.fft_precision("exact"):
+            assert PF._profile(jnp.float64) == (
+                PF._N_BANDS, PF._MAX_GROUP)
+
+    def test_nesting_restores_inner(self):
+        with ops.fft_precision("high"):
+            with ops.fft_precision((4, 3)):
+                assert PF._profile(jnp.float64) == (4, 3)
+            assert PF._profile(jnp.float64) == (7, 5)
+        assert PF._profile(jnp.float64) == (PF._N_BANDS, PF._MAX_GROUP)
+
+    def test_restores_on_exception(self):
+        with pytest.raises(RuntimeError):
+            with ops.fft_precision("fast"):
+                raise RuntimeError("boom")
+        assert PF._profile(jnp.float64) == (PF._N_BANDS, PF._MAX_GROUP)
+
+    def test_float32_profile_unaffected(self):
+        with ops.fft_precision("high"):
+            assert PF._profile(jnp.float32) == (4, 3)
+
+    def test_unknown_name_rejected(self):
+        with pytest.raises(ValueError, match="unknown fft_precision"):
+            ops.fft_precision("ultra")
+
+    @pytest.mark.parametrize("bad", [(0, 0), (8, 6), (4, 7), (4, -1)])
+    def test_bad_tuple_rejected(self, bad):
+        with pytest.raises(ValueError):
+            ops.fft_precision(bad)
+
+
+def _dft_case(n, cols, seed):
+    rng = np.random.default_rng(seed)
+    th = 2.0 * np.pi * np.outer(np.arange(n), np.arange(n)) / n
+    c, s = np.cos(th), -np.sin(th)
+    re = rng.standard_normal((n, cols))
+    im = rng.standard_normal((n, cols))
+    want = (c + 1j * s) @ (re + 1j * im)
+    return c, s, re, im, want
+
+
+class TestTrimmedComplexProduct:
+    """The Ozaki complex DFT product under each profile's band budget,
+    against a numpy float64 oracle. Tolerances are the profile grades
+    with ~10x headroom (error is relative to the complex magnitude)."""
+
+    GRADE = {(7, 6): 1e-13, (7, 5): 5e-12, (5, 4): 5e-10, (4, 3): 5e-6}
+
+    @pytest.mark.parametrize("profile", sorted(GRADE))
+    def test_grade(self, profile):
+        n_slices, max_band = profile
+        c, s, re, im, want = _dft_case(64, 96, seed=7)
+        got_re, got_im = complex_dft_matmul(
+            jnp.asarray(c), jnp.asarray(s), jnp.asarray(re),
+            jnp.asarray(im), n_slices=n_slices, max_band=max_band)
+        got = np.asarray(got_re) + 1j * np.asarray(got_im)
+        scale = np.abs(want).max()
+        err = np.abs(got - want).max() / scale
+        assert err < self.GRADE[profile], (profile, err)
+
+    def test_ladder_is_monotone(self):
+        """More band budget never loses accuracy (same inputs)."""
+        c, s, re, im, want = _dft_case(64, 96, seed=11)
+        errs = []
+        for n_slices, max_band in [(4, 3), (5, 4), (7, 5), (7, 6)]:
+            got_re, got_im = complex_dft_matmul(
+                jnp.asarray(c), jnp.asarray(s), jnp.asarray(re),
+                jnp.asarray(im), n_slices=n_slices, max_band=max_band)
+            got = np.asarray(got_re) + 1j * np.asarray(got_im)
+            errs.append(np.abs(got - want).max())
+        assert errs == sorted(errs, reverse=True) or errs[-1] < 1e-13
+
+
+class TestDeepPlumbing:
+    def test_twiddle_stage_accepts_profile(self):
+        """The deep outer stage's static profile args thread through
+        to the Ozaki product (composition algebra on tiny shapes; the
+        fused engine itself is TPU-only)."""
+        from transport_analysis_tpu.ops import deep_acf as DA
+
+        inner, outer, w = 8192, 4, 1
+        rng = np.random.default_rng(3)
+        re = rng.standard_normal((inner, outer * w))
+        im = rng.standard_normal((inner, outer * w))
+        t = DA._outer_tables(inner, outer)
+        # fresh device copies per call: the stage donates re/im
+        want = DA._twiddle_and_outer(
+            jnp.asarray(re), jnp.asarray(im),
+            t["twc"], t["tws"], t["dc"], t["ds"],
+            inner, outer, w, n_slices=7, max_band=6)
+        got = DA._twiddle_and_outer(
+            jnp.asarray(re), jnp.asarray(im),
+            t["twc"], t["tws"], t["dc"], t["ds"],
+            inner, outer, w, n_slices=5, max_band=4)
+        for a, b in zip(want, got):
+            scale = float(np.abs(np.asarray(a)).max())
+            err = float(np.abs(np.asarray(a) - np.asarray(b)).max())
+            assert 1e-16 < err / scale < 1e-8  # trimmed, but in-grade

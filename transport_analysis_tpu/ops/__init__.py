@@ -7,8 +7,10 @@ from .integrate import (
     polyfit_linear,
 )
 from .pallas_lag import windowed_lag_pallas
+from .pallas_fft import fft_precision
 
 __all__ = [
+    "fft_precision",
     "acf_fft",
     "acf_windowed",
     "einstein_difference_fft",

@@ -130,10 +130,13 @@ def _power_to_pair(p1, p2, inner: int, outer: int, w: int):
 _K1_SLAB = 8192  # k1 rows per sequential slab in the outer stage
 
 
-@functools.partial(jax.jit, static_argnames=("inner", "outer", "w"),
-                   donate_argnums=(0, 1))
+@functools.partial(
+    jax.jit,
+    static_argnames=("inner", "outer", "w", "n_slices", "max_band"),
+    donate_argnums=(0, 1))
 def _twiddle_and_outer(re, im, twc, tws, dc, ds,
-                       inner: int, outer: int, w: int):
+                       inner: int, outer: int, w: int,
+                       n_slices: int = None, max_band: int = None):
     """(T * W_M^{k1 j2}) then DFT_{n_outer} over j2, in float64 with
     the Ozaki banded complex product (the contraction is tiny).
 
@@ -156,7 +159,8 @@ def _twiddle_and_outer(re, im, twc, tws, dc, ds,
         ti = r * ts + i * tc
         tr = jnp.moveaxis(tr, 1, 0).reshape(outer, _K1_SLAB * w)
         ti = jnp.moveaxis(ti, 1, 0).reshape(outer, _K1_SLAB * w)
-        return complex_dft_matmul(dc, ds, tr, ti)
+        return complex_dft_matmul(dc, ds, tr, ti,
+                                  n_slices=n_slices, max_band=max_band)
 
     zr, zi = jax.lax.map(slab, (re, im, twc, tws))
     # (n_slab, outer, slab*w) -> rows k2, cols (k1, w) -> k-major rows
@@ -171,11 +175,23 @@ def _deep_fft_fwd_pair(pair, inner: int, outer: int, w: int):
     float32 — DONATED to the engine, so callers must drop their f64
     sources before calling (HBM peak discipline). float64 out."""
     t = _outer_tables(inner, outer)
+    # one profile for both levels: the engine reads it internally,
+    # the Ozaki outer DFT takes it as statics (same 7-bit band grid)
+    n_bands, max_group = _pf._profile(jnp.float64)
     pair = _pf.fft_banded_pair(pair, wt=_DEEP_WT)
     tre, tim = _fence(*_from_pairs(pair))
     del pair
     return _twiddle_and_outer(tre, tim, t["twc"], t["tws"], t["dc"],
-                              t["ds"], inner, outer, w)
+                              t["ds"], inner, outer, w,
+                              n_slices=n_bands, max_band=max_group)
+
+
+# rows per slab of the Hermitian unpack (128 MB of f64 at w = 128).
+# Above ~2^19 rows the straight-line unpack's HLO temps (hi/lo splits
+# + reversals of every operand, ~6 full-array f32 copies live at once)
+# exceed the chip: hardware-measured 12 GB of temps at M = 2^21 — the
+# allocation that stopped the N = 2^20 north-star ladder.
+_UNPACK_SLAB = 131072
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1))
@@ -183,19 +199,53 @@ def _unpack_power(zr, zi):
     """Hermitian two-for-one unpack + power spectra (float64, natural
     frequency order — same algebra as ops/fft._autocorr_packed).
 
-    Straight-line on purpose: the reversal feeds a fused elementwise
-    chain, and donation aliases zr→p1 / zi→p2 (same shape/dtype), so
-    the peak is ~inputs + one reversed temp set. An earlier lax.map
-    column-slab version transposed the full arrays TWICE (moveaxis in
-    and out) — four extra whole-array copies that were the #1
-    contributor to the deep path's 16 GB OOM at N=2^17 × 1536."""
-    r_rev = jnp.roll(jnp.flip(zr, axis=0), 1, axis=0)
-    i_rev = jnp.roll(jnp.flip(zi, axis=0), 1, axis=0)
-    f1r = 0.5 * (zr + r_rev)
-    f1i = 0.5 * (zi - i_rev)
-    f2r = 0.5 * (zi + i_rev)
-    f2i = 0.5 * (r_rev - zr)
-    return f1r * f1r + f1i * f1i, f2r * f2r + f2i * f2i
+    Small transforms run straight-line: the reversal feeds a fused
+    elementwise chain, and donation aliases zr→p1 / zi→p2 (same
+    shape/dtype). An earlier lax.map COLUMN-slab version transposed
+    the full arrays TWICE (moveaxis in and out) — four extra
+    whole-array copies that were the #1 contributor to the deep
+    path's 16 GB OOM at N=2^17 × 1536.
+
+    Large transforms slab along ROWS instead (contiguous, no
+    transpose): output row k needs input rows k and (M−k) mod M, so a
+    slab [a, a+L) reads its own slice plus the mirrored slice
+    [M−a−L, M−a) flipped, with the single wrap row (M−a) mod M
+    prepended. Peak drops from inputs + ~6 temp copies to
+    inputs + stacked outputs + one slab's temps."""
+    m, w = zr.shape
+    if m <= _UNPACK_SLAB or m % _UNPACK_SLAB:
+        r_rev = jnp.roll(jnp.flip(zr, axis=0), 1, axis=0)
+        i_rev = jnp.roll(jnp.flip(zi, axis=0), 1, axis=0)
+        f1r = 0.5 * (zr + r_rev)
+        f1i = 0.5 * (zi - i_rev)
+        f2r = 0.5 * (zi + i_rev)
+        f2i = 0.5 * (r_rev - zr)
+        return f1r * f1r + f1i * f1i, f2r * f2r + f2i * f2i
+
+    ll = _UNPACK_SLAB
+
+    def slab(a0):
+        a = a0 * ll
+
+        def rev(z):
+            # rev[k] = z[(m − k) mod m] for k in [a, a+L)
+            tail = jax.lax.dynamic_slice(z, (m - a - ll, 0), (ll, w))
+            head = jax.lax.dynamic_slice(z, ((m - a) % m, 0), (1, w))
+            return jnp.concatenate(
+                [head, jnp.flip(tail, axis=0)[: ll - 1]], axis=0)
+
+        zs = jax.lax.dynamic_slice(zr, (a, 0), (ll, w))
+        is_ = jax.lax.dynamic_slice(zi, (a, 0), (ll, w))
+        r_rev = rev(zr)
+        i_rev = rev(zi)
+        f1r = 0.5 * (zs + r_rev)
+        f1i = 0.5 * (is_ - i_rev)
+        f2r = 0.5 * (is_ + i_rev)
+        f2i = 0.5 * (r_rev - zs)
+        return f1r * f1r + f1i * f1i, f2r * f2r + f2i * f2i
+
+    p1, p2 = jax.lax.map(slab, jnp.arange(m // ll))
+    return p1.reshape(m, w), p2.reshape(m, w)
 
 
 # fence eager stages once the working set is big enough that letting

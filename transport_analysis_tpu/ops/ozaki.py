@@ -131,7 +131,7 @@ def prepare_rhs(b):
     return _slice_operand(b / b_exp, _N_SLICES), b_exp
 
 
-def _group_products(a_bands, b_bands):
+def _group_products(a_bands, b_bands, max_band=None):
     """Per-significance-group sums Σ_{p+q=g} A_p @ B_q as ONE bf16 GEMM
     per group via contraction-axis concatenation.
 
@@ -150,11 +150,13 @@ def _group_products(a_bands, b_bands):
     ordered reversed ([A_g | … | A_0]) so prefix q-order pairs with
     descending p.
     """
+    if max_band is None:
+        max_band = _MAX_BAND
     n_bands = len(a_bands)
     rhs_full = jnp.concatenate(b_bands, axis=0)
     k = b_bands[0].shape[0]
     group_sums = []
-    for g in range(min(_MAX_BAND + 1, 2 * n_bands - 1)):
+    for g in range(min(max_band + 1, 2 * n_bands - 1)):
         lo_q = max(0, g - n_bands + 1)
         hi_q = min(g, n_bands - 1)
         n_pairs = hi_q - lo_q + 1
@@ -215,7 +217,7 @@ def matmul_f64_ozaki(a, b):
 _K_LIMIT_COMPLEX = 256
 
 
-def complex_dft_matmul(c, s, re, im):
+def complex_dft_matmul(c, s, re, im, n_slices=None, max_band=None):
     """(c + i·s) @ (re + i·im) as TWO grouped banded products.
 
     The real/imaginary contractions are folded into the bf16 GEMMs
@@ -235,7 +237,15 @@ def complex_dft_matmul(c, s, re, im):
     columns are comparable (the FFT's case) and otherwise bounds the
     smaller component's error relative to the COMPLEX magnitude — the
     natural accuracy contract for a complex product.
+
+    ``n_slices``/``max_band`` trim the band budget for reduced-
+    precision profiles (ops.fft_precision); defaults are the exact
+    float64 grade.
     """
+    if n_slices is None:
+        n_slices = _N_SLICES
+    if max_band is None:
+        max_band = _MAX_BAND
     if c.shape[1] > _K_LIMIT_COMPLEX:
         c_p = prepare_lhs(c)
         s_p = prepare_lhs(s)
@@ -256,24 +266,26 @@ def complex_dft_matmul(c, s, re, im):
     )
     b_exp = _pow2_ceil(bmax)
 
-    c_b = _slice_operand(c / a_exp, _N_SLICES)
-    s_b = _slice_operand(s / a_exp, _N_SLICES)
-    re_b = _slice_operand(re / b_exp, _N_SLICES)
-    im_b = _slice_operand(im / b_exp, _N_SLICES)
+    c_b = _slice_operand(c / a_exp, n_slices)
+    s_b = _slice_operand(s / a_exp, n_slices)
+    re_b = _slice_operand(re / b_exp, n_slices)
+    im_b = _slice_operand(im / b_exp, n_slices)
 
     rhs_slabs = [
         jnp.concatenate([re_b[q], im_b[q]], axis=0)
-        for q in range(_N_SLICES)
+        for q in range(n_slices)
     ]
     lhs_re = [
         jnp.concatenate([c_b[p], -s_b[p]], axis=1)
-        for p in range(_N_SLICES)
+        for p in range(n_slices)
     ]
     lhs_im = [
         jnp.concatenate([s_b[p], c_b[p]], axis=1)
-        for p in range(_N_SLICES)
+        for p in range(n_slices)
     ]
     scale = a_exp * b_exp
-    out_re = _merge_groups(_group_products(lhs_re, rhs_slabs), scale)
-    out_im = _merge_groups(_group_products(lhs_im, rhs_slabs), scale)
+    out_re = _merge_groups(
+        _group_products(lhs_re, rhs_slabs, max_band), scale)
+    out_im = _merge_groups(
+        _group_products(lhs_im, rhs_slabs, max_band), scale)
     return out_re, out_im

@@ -257,10 +257,91 @@ _MAX_GROUP = int(os.environ.get(
 # its own 24-bit grade, so 4 bands with pairs p+q <= 3 (10 of the 28
 # f64 band products) land at the advertised ~1e-6 while keeping every
 # exactness argument (band values <= 68 in int8, group sums < 2^24).
+#
+# _F64_OVERRIDE, set via ops.fft_precision(...), trades band budget
+# for GEMM throughput on float64 inputs (the engine dispatchers read
+# it EAGERLY and pass it down as jit statics, so switching profiles
+# retraces instead of silently reusing stale kernels).
+_F64_OVERRIDE = None
+
+
 def _profile(dtype):
     if dtype == jnp.float64:
+        if _F64_OVERRIDE is not None:
+            return _F64_OVERRIDE
         return _N_BANDS, _MAX_GROUP
     return 4, 3
+
+
+# Named grades for fft_precision. Truncation per banded product is
+# ~2^-(7*(max_group+1)) relative to the column max; end-to-end grades
+# below are hardware-measured vs the exact profile (BENCH_NOTES
+# "precision ladder").
+_PRECISION_PROFILES = {
+    "exact": None,       # (7, 6): every band pair, ~1e-13 end to end
+    "high": (7, 5),      # 21/28 pairs, ~1e-12
+    "medium": (5, 4),    # 15 pairs over 5 bands, ~1e-10
+    "fast": (4, 3),      # the float32 grade (10 pairs), ~1e-6
+}
+
+
+class fft_precision:
+    """Context manager trading float64-FFT band budget for speed.
+
+    The banded engine reconstructs float64-grade products from int8/
+    bf16 MXU GEMMs over mantissa bands (module docstring); the GEMM
+    cost is proportional to the number of band PAIRS kept. Analyses
+    with a tolerance looser than 1e-13 can trim the budget::
+
+        with ops.fft_precision("medium"):      # ~1e-10 grade
+            VelocityAutocorr(ag).run()
+
+    Accepts a profile name (%s) or an explicit ``(n_bands,
+    max_group)`` tuple — ``n_bands`` mantissa bands per operand
+    (1..7, 7 bits each below the column max), keeping products with
+    band indices ``p + q <= max_group``. Affects float64 inputs on
+    the TPU engine paths only (the fused Pallas engine, its deep
+    >65536-frame composition, and the Ozaki outer DFT); float32
+    inputs already run the "fast" grade, and non-TPU backends use
+    native FFTs. Dispatchers read the profile eagerly at call time,
+    so entering a profile retraces kernels instead of reusing stale
+    ones; nesting restores the previous profile on exit.
+    """ % ", ".join(sorted(_PRECISION_PROFILES))
+
+    def __init__(self, profile):
+        if isinstance(profile, str):
+            try:
+                self._target = _PRECISION_PROFILES[profile]
+            except KeyError:
+                raise ValueError(
+                    f"unknown fft_precision profile {profile!r}; "
+                    f"expected one of {sorted(_PRECISION_PROFILES)} "
+                    "or an (n_bands, max_group) tuple"
+                ) from None
+        elif profile is None:
+            self._target = None
+        else:
+            n_bands, max_group = profile
+            if not (1 <= int(n_bands) <= _N_BANDS):
+                raise ValueError(
+                    f"n_bands must be in 1..{_N_BANDS}, got {n_bands}")
+            if not (0 <= int(max_group) <= 2 * int(n_bands) - 2):
+                raise ValueError(
+                    f"max_group must be in 0..{2 * int(n_bands) - 2} "
+                    f"for n_bands={n_bands}, got {max_group}")
+            self._target = (int(n_bands), int(max_group))
+        self._prev = None
+
+    def __enter__(self):
+        global _F64_OVERRIDE
+        self._prev = _F64_OVERRIDE
+        _F64_OVERRIDE = self._target
+        return self
+
+    def __exit__(self, *exc):
+        global _F64_OVERRIDE
+        _F64_OVERRIDE = self._prev
+        return False
 
 
 def _grouped_dots(lhs_stack, rhs_ref, k_slab, n_bands=_N_BANDS,
@@ -800,10 +881,13 @@ def fft_banded_pair(pair, inverse: bool = False, wt: int = _W_TILE):
     rh = pair[0]
     m = rh.shape[0]
     n2 = m // _N1
-    consts = _device_constants(n2, 1)
+    # pairs carry float64 payloads: ride the (overridable) f64 profile
+    n_bands, max_group = _profile(jnp.float64)
+    consts = _device_constants(n2, 1, n_bands)
     if inverse:
         pair = (pair[0], pair[1], -pair[2], -pair[3])
-    out = _fft_fwd_impl(pair, consts, wt=wt)
+    out = _fft_fwd_impl(pair, consts, n_bands=n_bands,
+                        max_group=max_group, wt=wt)
     if inverse:
         inv_m = np.float32(1.0 / m)
         out = (out[0] * inv_m, out[1] * inv_m,
