@@ -128,14 +128,18 @@ def _device_kernel(n_frames, chunk):
                 * pos32.astype(jnp.float64))
 
     def step(key):
-        vel = synth_vel(key)
+        # hand each synthesized block over WITHOUT keeping a local
+        # (box.pop()): ops.acf_fft / einstein_difference_fft propagate
+        # the consume discipline, so the (N, chunk, 3) f64 source is
+        # freed before the deep chain's multi-GB stages run — a held
+        # source adds its full size onto the chain's HBM peak
+        box = [synth_vel(key)]
         # readback fences pass 1 so its buffers are truly free before
         # pass 2 enqueues (see _analyze: no outer jit)
-        vs = np.asarray(ops.acf_fft(vel).sum(axis=1))
-        del vel
-        accum = synth_accum(key)
+        vs = np.asarray(ops.acf_fft(box.pop()).sum(axis=1))
+        box = [synth_accum(key)]
         hs = np.asarray(
-            ops.einstein_difference_fft(accum, "mean").sum(axis=1)
+            ops.einstein_difference_fft(box.pop(), "mean").sum(axis=1)
         )
         return vs, hs
 
@@ -154,22 +158,37 @@ def _host_kernel():
 
 
 def auto_chunk(n_frames: int, hbm_budget_gb: float = 13.5) -> int:
-    """Largest power-of-two atom chunk whose correlation pass fits
-    HBM. Memory model (measured round 4): the deep/banded FFT of a
-    (M, 2w) packed block peaks at ~M·w·48 bytes (f64 source + four
-    f32 pair arrays + stage temporaries), where M = 2·next_pow2(N)
-    and w = the 3·chunk/2 packed complex columns rounded UP to the
-    128-column pad tile — chunks below ~85 atoms all cost the same
-    floor, so tiny chunks waste up to 5× (measured: chunk=16 at
-    N=2^20 brushed 16 GB exactly like chunk=64 does). Each two-pass
-    stage (see _device_kernel) additionally holds one (N, chunk, 3)
-    f64 input (N·chunk·24 B)."""
+    """Largest atom chunk whose correlation pass fits HBM — on the
+    PAD-FILLING grid chunk = (256·k)//3: the deep/engine paths pack
+    3·chunk series into half that many complex columns, padded UP to
+    128-column tiles, so chunk=85 (k=1) costs exactly the HBM of
+    chunk=16 while doing 5.3× the atoms (hardware-measured at
+    N=2^20: chunk=16 and chunk=85 both run; chunk=64 with the old
+    held-reference dispatch OOMed).
+
+    Memory model (recalibrated round 4, consume-discipline dispatch):
+    the deep chain's peak stage holds two full f64 complex spectra
+    (in + out of the twiddle/unpack stages) = 32·M·w bytes, where
+    M = 2·next_pow2(N) and w = packed columns (128·k); the caller's
+    only surviving f64 source (the centered Einstein operand) adds
+    24·N·chunk. The engine path (N ≤ 32768) peaks lower per column
+    (~M·w·48/2 with w its 3·chunk/2 packed width) — keep its measured
+    model."""
     budget = hbm_budget_gb * 1e9
     m = 2 * next_pow_2(n_frames)
-    best = 16
-    for chunk in (16, 32, 64, 128, 256, 512, 1024, 2048):
-        w = -(-3 * chunk // 2 // 128) * 128
-        peak = m * w * 48.0 + n_frames * chunk * 24.0
+    if m <= 65536:  # single-level engine path
+        best = 16
+        for chunk in (16, 32, 64, 128, 256, 512, 1024, 2048):
+            w = -(-3 * chunk // 2 // 128) * 128
+            peak = m * w * 48.0 + n_frames * chunk * 24.0
+            if peak <= budget:
+                best = chunk
+        return best
+    best = 85
+    for k in range(1, 64):
+        chunk = (256 * k) // 3
+        w = 128 * k
+        peak = 32.0 * m * w + 24.0 * n_frames * chunk
         if peak <= budget:
             best = chunk
     return best

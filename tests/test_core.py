@@ -90,6 +90,27 @@ class TestUniverse:
         u = ta.Universe.empty(10, n_frames=5, velocities=False)
         assert not u.trajectory.has_velocities
 
+    def test_topology_instance_plus_trajectory_path(self, tmp_path):
+        # Universe(Topology(n), "traj.trr"): the path is a TRAJECTORY,
+        # not a topology file (regression: it was fed to load_topology)
+        from transport_analysis_tpu.core.topology import Topology
+        from transport_analysis_tpu.io.trr import TRRWriter
+
+        path = str(tmp_path / "v.trr")
+        rng = np.random.default_rng(3)
+        with TRRWriter(path, n_atoms=5) as w:
+            for i in range(4):
+                w.write(
+                    positions=rng.normal(0, 5, (5, 3)).astype(np.float32),
+                    velocities=rng.normal(0, 2, (5, 3)).astype(np.float32),
+                    dimensions=[20.0, 20.0, 20.0, 90.0, 90.0, 90.0],
+                    time=0.002 * i,
+                    step=i,
+                )
+        u = ta.Universe(Topology(5), path)
+        assert u.trajectory.n_frames == 4
+        assert u.trajectory[2].has_velocities
+
     def test_load_new(self):
         u = ta.Universe.empty(2)
         coords = np.random.rand(4, 2, 3).astype(np.float32)

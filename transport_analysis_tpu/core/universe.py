@@ -37,15 +37,23 @@ class Universe:
         if file_args:
             from ..io import load_topology, open_trajectory
 
-            topology = load_topology(file_args[0])
-            if len(file_args) > 1:
+            if topology is None:
+                topology = load_topology(file_args[0])
+                traj_files = file_args[1:]
+                single = file_args[0]
+            else:
+                # Topology instance + trajectory path(s):
+                # Universe(Topology(n), "traj.trr")
+                traj_files = file_args
+                single = None
+            if traj_files:
                 trajectory = open_trajectory(
-                    file_args[1], n_atoms=topology.n_atoms
+                    traj_files[0], n_atoms=topology.n_atoms
                 )
-            elif trajectory is None:
+            elif trajectory is None and single is not None:
                 # single-file universe: topology file may carry coordinates
                 trajectory = open_trajectory(
-                    file_args[0], n_atoms=topology.n_atoms
+                    single, n_atoms=topology.n_atoms
                 )
 
         if topology is None:

@@ -115,11 +115,16 @@ def raw_autocorr(x: jax.Array) -> jax.Array:
             x_pad = jnp.pad(x, ((0, M - N), (0, 0)))
             return pallas_fft.raw_autocorr_pallas(x_pad, N)
         if deep_acf.supported(M, x.shape[1]):
-            # padded operand passed as a temporary: the deep path
-            # frees its f64 sources mid-chain (HBM peak discipline)
-            return deep_acf.raw_autocorr_deep(
-                jnp.pad(x, ((0, M - N), (0, 0))), N
-            )
+            # padded operand handed over WITHOUT a local reference
+            # (box.pop() leaves no binding in this frame): the deep
+            # chain runs eagerly over multi-GB stages, and any f64
+            # source a caller frame keeps alive adds straight onto
+            # the chain's HBM peak — holding x_pad here (16·N·S bytes)
+            # was the difference between chunk=64 OOM and chunk=85
+            # fitting at N=2^20 (BENCH_NOTES round 4)
+            box = [jnp.pad(x, ((0, M - N), (0, 0)))]
+            del x
+            return deep_acf.raw_autocorr_deep(box.pop(), N)
     from .fft import raw_autocorr_matmul
 
     x_pad = jnp.pad(x, ((0, M - N), (0, 0)))
@@ -170,9 +175,11 @@ def raw_autocorr_sumlast(x: jax.Array) -> jax.Array:
         from . import deep_acf, pallas_fft
 
         if deep_acf.supported(M, S) and not pallas_fft.supported(M, S):
-            raw = deep_acf.raw_autocorr_deep(
-                jnp.pad(x.reshape(N, S), ((0, M - N), (0, 0))), N
-            )
+            # consume discipline: see raw_autocorr — no frame-local
+            # reference to the padded operand survives the handoff
+            box = [jnp.pad(x.reshape(N, S), ((0, M - N), (0, 0)))]
+            del x
+            raw = deep_acf.raw_autocorr_deep(box.pop(), N)
             return jnp.sum(raw.reshape(N, P, d), axis=-1)
         if pallas_fft.supported(M, S):
             # Post-process in the double-float pair domain: emulated-
@@ -214,8 +221,12 @@ def acf_fft(x) -> jax.Array:
     if x.ndim == 2:
         x = x[:, :, None]
     N, P, d = x.shape
-    raw = raw_autocorr_sumlast(x)
-    norm = (N - jnp.arange(N, dtype=x.dtype))[:, None]
+    dtype = x.dtype
+    box = [x]
+    del x  # consume discipline (see raw_autocorr): callers that hand
+    # their only reference in get the deep path's full HBM headroom
+    raw = raw_autocorr_sumlast(box.pop())
+    norm = (N - jnp.arange(N, dtype=dtype))[:, None]
     return raw / norm
 
 

@@ -155,23 +155,33 @@ def _center(a):
     return a - jnp.mean(a, axis=0, keepdims=True)
 
 
-@partial(jax.jit, static_argnames=("reduce_mode",))
-def _einstein_fft_impl(a: jax.Array, reduce_mode: str,
+@jax.jit
+def _sq_sum(a):
+    """|a_i|² summed over the component axis, (N, P, d) → (N, P)."""
+    return jnp.sum(a * a, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("reduce_mode", "d"))
+def _einstein_fft_impl(sq: jax.Array, reduce_mode: str, d: int,
                        corr) -> jax.Array:
-    """Kneller/Calandrini assembly. ``a`` must be per-series centered
-    and ``corr`` its raw component-summed autocorrelation: the
-    identity (s_head + s_tail - 2·corr) cancels catastrophically at
-    small lags when the series carries a large mean offset (positions
-    routinely do); zero-mean data makes the cancellation benign in f32
-    and tightens f64 by orders of magnitude. The correlation is
-    computed OUTSIDE this jit: tracing the Pallas engine here would
-    embed its banded level matrices as program literals (~350 MB at
-    n2 = 512 — rejected by tunneled remote-compile backends and
-    recompiled per shape everywhere else)."""
-    N, P, d = a.shape
+    """Kneller/Calandrini assembly. ``sq`` is the per-frame component
+    sum |a_i|² of the per-series CENTERED operand and ``corr`` its raw
+    component-summed autocorrelation: the identity
+    (s_head + s_tail - 2·corr) cancels catastrophically at small lags
+    when the series carries a large mean offset (positions routinely
+    do); zero-mean data makes the cancellation benign in f32 and
+    tightens f64 by orders of magnitude. Taking ``sq`` rather than the
+    full (N, P, d) operand lets the caller FREE the operand before the
+    correlation runs — holding it across the deep chain's multi-GB
+    stages was the OOM at the N=2^20 north-star rung (chunk=85). The
+    correlation is computed OUTSIDE this jit: tracing the Pallas
+    engine here would embed its banded level matrices as program
+    literals (~350 MB at n2 = 512 — rejected by tunneled
+    remote-compile backends and recompiled per shape everywhere
+    else)."""
+    N, P = sq.shape
 
     # prefix sums of |a_i|² over components
-    sq = jnp.sum(a * a, axis=-1)  # (N, P)
     css = _prefix_sum_blocked(sq)  # css[k] = sum_{i<=k} sq[i]
     total = css[-1]
 
@@ -180,12 +190,12 @@ def _einstein_fft_impl(a: jax.Array, reduce_mode: str,
     s_head = css[N - 1 - lags]  # (N, P)
     # S_tail(lag) = sum_{i=lag}^{N-1} sq[i] = total - css[lag-1]
     css_prev = jnp.concatenate(
-        [jnp.zeros((1, P), a.dtype), css[:-1]], axis=0
+        [jnp.zeros((1, P), sq.dtype), css[:-1]], axis=0
     )
     s_tail = total[None, :] - css_prev
     raw = s_head + s_tail - 2.0 * corr
 
-    denom = (N - lags).astype(a.dtype)[:, None]
+    denom = (N - lags).astype(sq.dtype)[:, None]
     out = raw / denom
     if reduce_mode == "mean":
         out = out / d
@@ -210,11 +220,22 @@ def einstein_difference_fft(a, reduce_mode: str = "mean",
     a = jnp.asarray(a)
     if a.ndim == 2:
         a = a[:, :, None]
+    d = a.shape[-1]
     if corr is None:
         a = _center(a)
+    # |a_i|² summed over components FIRST (an (N, P) array, d·3×
+    # smaller), then the (N, P, d) operand is handed to the
+    # correlation WITHOUT a surviving local reference (box.pop()):
+    # the deep chain at N ≥ 2^17 runs multi-GB stages, and a held
+    # operand adds its full size onto the chain's HBM peak (measured:
+    # the held centered operand was the OOM at the N=2^20 rung)
+    sq = _sq_sum(a)
+    if corr is None:
+        box = [a]
+        del a
         # C(lag, p) = sum_i sum_d a[i]·a[i+lag]  (raw, unnormalized)
-        corr = raw_autocorr_sumlast(a)
-    return _einstein_fft_impl(a, reduce_mode, corr)
+        corr = raw_autocorr_sumlast(box.pop())
+    return _einstein_fft_impl(sq, reduce_mode, d, corr)
 
 
 def msd_fft(r) -> jax.Array:
