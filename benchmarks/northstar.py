@@ -158,40 +158,12 @@ def _host_kernel():
 
 
 def auto_chunk(n_frames: int, hbm_budget_gb: float = 13.5) -> int:
-    """Largest atom chunk whose correlation pass fits HBM — on the
-    PAD-FILLING grid chunk = (256·k)//3: the deep/engine paths pack
-    3·chunk series into half that many complex columns, padded UP to
-    128-column tiles, so chunk=85 (k=1) costs exactly the HBM of
-    chunk=16 while doing 5.3× the atoms (hardware-measured at
-    N=2^20: chunk=16 and chunk=85 both run; chunk=64 with the old
-    held-reference dispatch OOMed).
+    """Pad-filling HBM-fitting atom chunk — now provided by the
+    package (ops.acf.auto_atom_chunk); kept as a thin alias for the
+    CLI contract and older scripts."""
+    from transport_analysis_tpu.ops.acf import auto_atom_chunk
 
-    Memory model (recalibrated round 4, consume-discipline dispatch):
-    the deep chain's peak stage holds two full f64 complex spectra
-    (in + out of the twiddle/unpack stages) = 32·M·w bytes, where
-    M = 2·next_pow2(N) and w = packed columns (128·k); the caller's
-    only surviving f64 source (the centered Einstein operand) adds
-    24·N·chunk. The engine path (N ≤ 32768) peaks lower per column
-    (~M·w·48/2 with w its 3·chunk/2 packed width) — keep its measured
-    model."""
-    budget = hbm_budget_gb * 1e9
-    m = 2 * next_pow_2(n_frames)
-    if m <= 65536:  # single-level engine path
-        best = 16
-        for chunk in (16, 32, 64, 128, 256, 512, 1024, 2048):
-            w = -(-3 * chunk // 2 // 128) * 128
-            peak = m * w * 48.0 + n_frames * chunk * 24.0
-            if peak <= budget:
-                best = chunk
-        return best
-    best = 85
-    for k in range(1, 64):
-        chunk = (256 * k) // 3
-        w = 128 * k
-        peak = 32.0 * m * w + 24.0 * n_frames * chunk
-        if peak <= budget:
-            best = chunk
-    return best
+    return auto_atom_chunk(n_frames, d=3, hbm_budget_gb=hbm_budget_gb)
 
 
 def main():

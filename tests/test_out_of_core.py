@@ -203,3 +203,50 @@ def test_helfand_out_of_core_sharded_matches_serial(
     )
     assert_allclose(got_ts, ref_ts, rtol=1e-9, atol=1e-12)
     assert got_visc == pytest.approx(ref_visc, rel=1e-8)
+
+
+class TestAutoAtomChunk:
+    def test_pad_filling_grid_deep(self):
+        from transport_analysis_tpu.ops.acf import auto_atom_chunk
+
+        # deep-path rungs measured on the 16 GB v5e (BENCH_NOTES r4)
+        assert auto_atom_chunk(1048576, d=3) == 85
+        assert auto_atom_chunk(524288, d=3) == 170
+        assert auto_atom_chunk(131072, d=3) == 853
+
+    def test_engine_path_unchanged(self):
+        from transport_analysis_tpu.ops.acf import auto_atom_chunk
+
+        assert auto_atom_chunk(32768, d=3) == 2048
+        assert auto_atom_chunk(8192, d=3) == 4096
+
+    def test_budget_scales(self):
+        from transport_analysis_tpu.ops.acf import auto_atom_chunk
+
+        big = auto_atom_chunk(1048576, d=3, hbm_budget_gb=90.0)
+        assert big > 6 * 85  # v5p-class HBM fits several more tiles
+
+    def test_out_of_core_accepts_auto(self, tmp_path):
+        # default atom_chunk="auto" resolves and matches explicit int
+        from transport_analysis_tpu.parallel.out_of_core import (
+            vacf_out_of_core,
+        )
+
+        rng = np.random.default_rng(5)
+        na, nf = 6, 32
+        path = str(tmp_path / "t.trr")
+        with TRRWriter(path, n_atoms=na) as w:
+            for i in range(nf):
+                w.write(
+                    positions=rng.normal(0, 5, (na, 3)).astype(np.float32),
+                    velocities=rng.normal(0, 2, (na, 3)).astype(np.float32),
+                    dimensions=[20.0, 20.0, 20.0, 90.0, 90.0, 90.0],
+                    time=0.002 * i,
+                    step=i,
+                )
+        u = ta.Universe(Topology(na), path)
+        out_auto = vacf_out_of_core(u, str(tmp_path / "s1"))
+        out_int = vacf_out_of_core(
+            u, str(tmp_path / "s2"), atom_chunk=4
+        )
+        assert_allclose(out_auto, out_int, rtol=1e-12)

@@ -41,6 +41,55 @@ def next_pow_2(n: int) -> int:
     return m
 
 
+def auto_atom_chunk(
+    n_frames: int, d: int = 3, hbm_budget_gb: float | None = None
+) -> int:
+    """Largest atom chunk whose float64 FFT correlation pass fits in
+    device memory, on the PAD-FILLING grid.
+
+    The engine/deep paths pack the d·chunk series of a chunk into
+    half as many complex columns, padded UP to 128-column lane tiles
+    — so the useful grid is chunk = (256·k)//d (k = 1, 2, ...): at
+    N = 2^20 frames, chunk=85 (k=1, d=3) costs exactly the HBM of
+    chunk=16 while doing 5.3× the atoms (hardware-measured, BENCH_
+    NOTES round 4). Memory model, recalibrated on a 16 GB v5e with
+    the consume-discipline dispatch:
+
+    * deep path (M = 2·next_pow2(N) > 65536): peak stage holds two
+      full f64 complex spectra = 32·M·w bytes (w = 128·k packed
+      columns), plus the caller's surviving f64 source ≈ 24·N·chunk.
+    * engine path (M ≤ 65536): measured peak ≈ M·w'·48 with
+      w' = d·chunk/2 padded to 128, plus the (N, chunk, d) source.
+
+    The budget defaults to 13.5 GB (a 16 GB chip less XLA workspace
+    and the engine's banded constants); override per call or via
+    TRANSPORT_ANALYSIS_TPU_HBM_BUDGET_GB for other parts.
+    """
+    import os as _os
+
+    if hbm_budget_gb is None:
+        hbm_budget_gb = float(_os.environ.get(
+            "TRANSPORT_ANALYSIS_TPU_HBM_BUDGET_GB", 13.5))
+    budget = hbm_budget_gb * 1e9
+    m = 2 * next_pow_2(n_frames)
+    if m <= 65536:
+        best = 16
+        for chunk in (16, 32, 64, 128, 256, 512, 1024, 2048, 4096):
+            w = -(-d * chunk // 2 // 128) * 128
+            peak = m * w * 48.0 + n_frames * chunk * 8.0 * d
+            if peak <= budget:
+                best = chunk
+        return best
+    best = max(1, 256 // d)
+    for k in range(1, 64):
+        chunk = (256 * k) // d
+        w = 128 * k
+        peak = 32.0 * m * w + 8.0 * d * n_frames * chunk
+        if peak <= budget:
+            best = chunk
+    return best
+
+
 def _has_native_fft() -> bool:
     """Only the CPU backend provides an FFT primitive; TPU backends
     (reported as 'tpu' or a plugin name such as 'axon') provide none,

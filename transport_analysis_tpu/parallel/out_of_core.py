@@ -147,6 +147,16 @@ def correlate_spools(
     return acc / max(n_particles, 1)
 
 
+def _auto_chunk(atom_chunk, n_frames: int, d: int) -> int:
+    """Resolve atom_chunk="auto" via ops.acf.auto_atom_chunk (the
+    pad-filling HBM model); integer values pass through unchanged."""
+    if atom_chunk == "auto":
+        from ..ops.acf import auto_atom_chunk
+
+        return auto_atom_chunk(n_frames, d=d)
+    return int(atom_chunk)
+
+
 def _resolve(universe_or_ag, start, stop, step):
     from ..core.groups import AtomGroup
 
@@ -163,7 +173,7 @@ def _resolve(universe_or_ag, start, stop, step):
 def vacf_out_of_core(
     universe_or_ag,
     spool_dir: str,
-    atom_chunk: int = 4096,
+    atom_chunk='auto',
     dim: Sequence[int] = (0, 1, 2),
     start=None,
     stop=None,
@@ -178,6 +188,7 @@ def vacf_out_of_core(
     from .. import ops
 
     ag, reader, frames = _resolve(universe_or_ag, start, stop, step)
+    atom_chunk = _auto_chunk(atom_chunk, len(frames), len(dim))
     paths = build_spools(
         reader, frames, ag.indices, list(dim), spool_dir, atom_chunk,
         field="velocities",
@@ -195,7 +206,7 @@ def vacf_out_of_core(
 def helfand_out_of_core(
     universe_or_ag,
     spool_dir: str,
-    atom_chunk: int = 4096,
+    atom_chunk='auto',
     dim: Sequence[int] = (0, 1, 2),
     temp_avg: float = 300.0,
     start=None,
@@ -220,6 +231,7 @@ def helfand_out_of_core(
     from ..utils.units import constants
 
     ag, reader, frames = _resolve(universe_or_ag, start, stop, step)
+    atom_chunk = _auto_chunk(atom_chunk, len(frames), len(dim))
     masses = np.asarray(ag.masses, np.float64)
     indices = ag.indices
     dim = list(dim)
@@ -265,7 +277,7 @@ def helfand_out_of_core(
 def msd_out_of_core(
     universe_or_ag,
     spool_dir: str,
-    atom_chunk: int = 4096,
+    atom_chunk='auto',
     dim: Sequence[int] = (0, 1, 2),
     start=None,
     stop=None,
@@ -278,6 +290,7 @@ def msd_out_of_core(
     from .. import ops
 
     ag, reader, frames = _resolve(universe_or_ag, start, stop, step)
+    atom_chunk = _auto_chunk(atom_chunk, len(frames), len(dim))
     paths = build_spools(
         reader, frames, ag.indices, list(dim), spool_dir, atom_chunk,
         field="positions",
@@ -297,7 +310,7 @@ def vacf_out_of_core_sharded(
     spool_dir: str,
     mesh,
     axis_name: str = "frames",
-    atom_chunk: int = 4096,
+    atom_chunk='auto',
     dim: Sequence[int] = (0, 1, 2),
     start=None,
     stop=None,
@@ -316,6 +329,7 @@ def vacf_out_of_core_sharded(
     from .sharded_fft import sharded_acf_fft
 
     ag, reader, frames = _resolve(universe_or_ag, start, stop, step)
+    atom_chunk = _auto_chunk(atom_chunk, len(frames), len(dim))
     paths = build_spools(
         reader, frames, ag.indices, list(dim), spool_dir, atom_chunk,
         field="velocities",
@@ -336,7 +350,7 @@ def helfand_out_of_core_sharded(
     spool_dir: str,
     mesh,
     axis_name: str = "frames",
-    atom_chunk: int = 4096,
+    atom_chunk='auto',
     dim: Sequence[int] = (0, 1, 2),
     temp_avg: float = 300.0,
     start=None,
@@ -361,6 +375,7 @@ def helfand_out_of_core_sharded(
     from ..utils.units import constants
 
     ag, reader, frames = _resolve(universe_or_ag, start, stop, step)
+    atom_chunk = _auto_chunk(atom_chunk, len(frames), len(dim))
     masses = np.asarray(ag.masses, np.float64)
     indices = ag.indices
     dim = list(dim)
