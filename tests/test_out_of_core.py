@@ -212,7 +212,8 @@ class TestAutoAtomChunk:
         # deep-path rungs measured on the 16 GB v5e (BENCH_NOTES r4)
         assert auto_atom_chunk(1048576, d=3) == 85
         assert auto_atom_chunk(524288, d=3) == 170
-        assert auto_atom_chunk(131072, d=3) == 853
+        assert auto_atom_chunk(131072, d=3) == 682
+        assert auto_atom_chunk(262144, d=3) == 341
 
     def test_engine_path_unchanged(self):
         from transport_analysis_tpu.ops.acf import auto_atom_chunk

@@ -61,15 +61,17 @@ def auto_atom_chunk(
     * engine path (M ≤ 65536): measured peak ≈ M·w'·48 with
       w' = d·chunk/2 padded to 128, plus the (N, chunk, d) source.
 
-    The budget defaults to 13.5 GB (a 16 GB chip less XLA workspace
-    and the engine's banded constants); override per call or via
+    The budget defaults to 12 GB: on a 16 GB v5e every configuration
+    with a modeled peak <= 10.7 GB ran, and both 13.4 GB configs
+    OOMed (prepare-stage transients + engine constants + allocator
+    fragmentation eat the nominal headroom). Override per call or via
     TRANSPORT_ANALYSIS_TPU_HBM_BUDGET_GB for other parts.
     """
     import os as _os
 
     if hbm_budget_gb is None:
         hbm_budget_gb = float(_os.environ.get(
-            "TRANSPORT_ANALYSIS_TPU_HBM_BUDGET_GB", 13.5))
+            "TRANSPORT_ANALYSIS_TPU_HBM_BUDGET_GB", 12.0))
     budget = hbm_budget_gb * 1e9
     m = 2 * next_pow_2(n_frames)
     if m <= 65536:
