@@ -177,15 +177,21 @@ def main():
                     help="verify one chunk against the host f64 oracle")
     ap.add_argument("--stages", action="store_true",
                     help="fenced per-stage breakdown of one chunk")
+    ap.add_argument("--precision", default="exact",
+                    help="ops.fft_precision profile for the banded "
+                         "engine (exact/high/medium/fast); the north "
+                         "star's 1e-8 contract admits 'medium'")
     args = ap.parse_args()
 
     n_frames = args.frames
     chunk = args.chunk or auto_chunk(n_frames)
+    precision_ctx = ops.fft_precision(args.precision)
     n_chunks = -(-args.atoms // chunk)
     n_atoms = n_chunks * chunk  # keep chunks uniform
 
     vacf_acc = np.zeros(n_frames, np.float64)
     helf_acc = np.zeros(n_frames, np.float64)
+    precision_ctx.__enter__()  # module-scope: whole run at this grade
 
     if args.stages:
         # fenced per-stage walls of ONE chunk, two-pass layout
@@ -300,6 +306,8 @@ def main():
         "gk_diffusivity": float(gk_d),
         "helfand_slope": float(slope),
     }
+    if args.precision != "exact":
+        result["fft_precision"] = args.precision
 
     if args.check:
         vel, pos, masses = _host_chunk(n_frames, chunk, 1000)

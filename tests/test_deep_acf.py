@@ -102,26 +102,34 @@ class TestCompositionAlgebra:
 
 
 class TestUnpackPowerSlabs:
-    """The row-slab Hermitian unpack (the M >= 2^18 HBM fix) is
+    """The row-slab fused unpack (the M >= 2^18 HBM fix) is
     bit-identical to the straight-line formulation."""
 
     @pytest.mark.parametrize("m,slab", [(1024, 128), (4096, 512)])
     def test_slab_matches_straightline(self, monkeypatch, m, slab):
         rng = np.random.default_rng(5)
         w = 8
+        inner, outer = m // 4, 4
         zr = rng.standard_normal((m, w))
         zi = rng.standard_normal((m, w))
         # straight-line reference (slab gate off: m <= _UNPACK_SLAB)
-        want = deep_acf._unpack_power(jnp.asarray(zr), jnp.asarray(zi))
+        want = deep_acf._unpack_to_pair(
+            jnp.asarray(zr), jnp.asarray(zi), inner, outer, w)
         want = tuple(np.asarray(a) for a in want)
         monkeypatch.setattr(deep_acf, "_UNPACK_SLAB", slab)
-        # pad columns so the jit cache can't reuse the unslabbed trace
+        # pad a zero column so the jit cache (keyed on shapes/statics,
+        # _UNPACK_SLAB is read at trace time) can't reuse the
+        # unslabbed trace; columns are independent in the unpack
         zr_p = np.concatenate([zr, np.zeros((m, 1))], axis=1)
         zi_p = np.concatenate([zi, np.zeros((m, 1))], axis=1)
-        got = deep_acf._unpack_power(jnp.asarray(zr_p), jnp.asarray(zi_p))
-        got = tuple(np.asarray(a)[:, :w] for a in got)
+        got = deep_acf._unpack_to_pair(
+            jnp.asarray(zr_p), jnp.asarray(zi_p), inner, outer, w + 1)
+        # undo the engine-layout reshape, drop the pad column
+        got = tuple(
+            np.asarray(a).reshape(m, w + 1)[:, :w] for a in got
+        )
         for a, b in zip(want, got):
-            np.testing.assert_array_equal(a, b)
+            np.testing.assert_array_equal(np.asarray(a).reshape(m, w), b)
 
 
 class TestDispatchWiring:
@@ -186,3 +194,42 @@ class TestDispatchWiring:
         out = jax.jit(acf.raw_autocorr)(jnp.asarray(x))
         ref = acf.acf_fft_numpy(x[:, :, None]) * (256 - np.arange(256))[:, None]
         np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-9)
+
+
+class TestUnpackToPair:
+    """The fused unpack+power+conjugate-split stage, CPU-checkable
+    (pure XLA): compare against the straight-line Hermitian algebra in
+    numpy float64."""
+
+    @pytest.mark.parametrize("m,slabbed", [(256, False), (262144, True)])
+    def test_matches_reference_algebra(self, m, slabbed):
+        from transport_analysis_tpu.ops import deep_acf as D
+
+        w = 4
+        inner, outer = m // 2, 2
+        rng = np.random.default_rng(11)
+        zr = rng.normal(0, 3, (m, w))
+        zi = rng.normal(0, 3, (m, w))
+        if slabbed:
+            assert m % D._UNPACK_SLAB == 0  # exercises the lax.map path
+        rh, rl, ih, il = D._unpack_to_pair(
+            jnp.asarray(zr), jnp.asarray(zi), inner, outer, w
+        )
+        got_re = (np.asarray(rh, np.float64)
+                  + np.asarray(rl, np.float64)).reshape(m, w)
+        got_im = (np.asarray(ih, np.float64)
+                  + np.asarray(il, np.float64)).reshape(m, w)
+
+        r_rev = np.roll(zr[::-1], 1, axis=0)
+        i_rev = np.roll(zi[::-1], 1, axis=0)
+        f1r = 0.5 * (zr + r_rev)
+        f1i = 0.5 * (zi - i_rev)
+        f2r = 0.5 * (zi + i_rev)
+        f2i = 0.5 * (r_rev - zr)
+        p1 = f1r * f1r + f1i * f1i
+        p2 = f2r * f2r + f2i * f2i
+        scale = max(p1.max(), p2.max())
+        np.testing.assert_allclose(got_re, p1, atol=1e-8 * scale)
+        np.testing.assert_allclose(got_im, -p2, atol=1e-8 * scale)
+        # pair split must be much tighter than one f32 ulp of the value
+        assert np.max(np.abs(got_re - p1)) <= 1e-12 * scale

@@ -112,19 +112,74 @@ def _prepare_pair(x, inner: int, outer: int, w: int, s: int):
     )
 
 
+# rows per slab of the fused unpack stage (128 MB of f64 at w = 128).
+# Above ~2^19 rows a straight-line unpack's HLO temps (hi/lo splits +
+# reversals of every operand, ~6 full-array f32 copies live at once)
+# exceed the chip: hardware-measured 12 GB of temps at M = 2^21.
+_UNPACK_SLAB = 131072
+
+
 @functools.partial(
     jax.jit, static_argnames=("inner", "outer", "w"),
     donate_argnums=(0, 1),
 )
-def _power_to_pair(p1, p2, inner: int, outer: int, w: int):
-    """Power spectra → engine-layout pairs of (p1 − i·p2) (the
-    conjugation that turns the forward machinery into the inverse).
-    Donated: p1/p2 die here."""
-    rh, rl = _pf._split_pair(p1)
-    ih, il = _pf._split_pair(-p2)
-    return tuple(
-        a.reshape(inner, outer * w) for a in (rh, rl, ih, il)
-    )
+def _unpack_to_pair(zr, zi, inner: int, outer: int, w: int):
+    """Fused Hermitian unpack + power spectra + conjugate pair split,
+    (M, w) f64 spectra → engine-layout (re_hi, re_lo, im_hi, im_lo)
+    of (p1 − i·p2), row-slabbed.
+
+    Replaces the _unpack_power → _power_to_pair two-stage chain on
+    large transforms: that chain's peak stage held TWO full f64
+    spectra pairs (inputs + stacked outputs, 32·M·w bytes ≈ 8.6 GB at
+    M=2^21, w=128) and its successor another 8.6 GB — the margin that
+    made the N=2^20 north-star rung OOM nondeterministically. Fusing
+    emits the four f32 pair arrays directly (16·M·w bytes of output
+    against 16·M·w of input), never materializing full-M f64 power
+    spectra; per-slab algebra is identical (f64 in-slab, split at the
+    end), so accuracy is unchanged.
+
+    Output row k needs input rows k and (M−k) mod M: each slab reads
+    its own contiguous slice plus the mirrored slice flipped, with the
+    single wrap row prepended (same access pattern as _unpack_power's
+    row-slab path)."""
+    m, _ = zr.shape
+    ll = _UNPACK_SLAB if m % _UNPACK_SLAB == 0 else m
+    if m <= ll:
+        r_rev = jnp.roll(jnp.flip(zr, axis=0), 1, axis=0)
+        i_rev = jnp.roll(jnp.flip(zi, axis=0), 1, axis=0)
+        f1r = 0.5 * (zr + r_rev)
+        f1i = 0.5 * (zi - i_rev)
+        f2r = 0.5 * (zi + i_rev)
+        f2i = 0.5 * (r_rev - zr)
+        rh, rl = _pf._split_pair(f1r * f1r + f1i * f1i)
+        ih, il = _pf._split_pair(-(f2r * f2r + f2i * f2i))
+        return tuple(
+            a.reshape(inner, outer * w) for a in (rh, rl, ih, il)
+        )
+
+    def slab(a0):
+        a = a0 * ll
+
+        def rev(z):
+            tail = jax.lax.dynamic_slice(z, (m - a - ll, 0), (ll, w))
+            head = jax.lax.dynamic_slice(z, ((m - a) % m, 0), (1, w))
+            return jnp.concatenate(
+                [head, jnp.flip(tail, axis=0)[: ll - 1]], axis=0)
+
+        zs = jax.lax.dynamic_slice(zr, (a, 0), (ll, w))
+        is_ = jax.lax.dynamic_slice(zi, (a, 0), (ll, w))
+        r_rev = rev(zr)
+        i_rev = rev(zi)
+        f1r = 0.5 * (zs + r_rev)
+        f1i = 0.5 * (is_ - i_rev)
+        f2r = 0.5 * (is_ + i_rev)
+        f2i = 0.5 * (r_rev - zs)
+        rh, rl = _pf._split_pair(f1r * f1r + f1i * f1i)
+        ih, il = _pf._split_pair(-(f2r * f2r + f2i * f2i))
+        return rh, rl, ih, il
+
+    parts = jax.lax.map(slab, jnp.arange(m // ll))
+    return tuple(a.reshape(inner, outer * w) for a in parts)
 
 
 _K1_SLAB = 8192  # k1 rows per sequential slab in the outer stage
@@ -184,68 +239,6 @@ def _deep_fft_fwd_pair(pair, inner: int, outer: int, w: int):
     return _twiddle_and_outer(tre, tim, t["twc"], t["tws"], t["dc"],
                               t["ds"], inner, outer, w,
                               n_slices=n_bands, max_band=max_group)
-
-
-# rows per slab of the Hermitian unpack (128 MB of f64 at w = 128).
-# Above ~2^19 rows the straight-line unpack's HLO temps (hi/lo splits
-# + reversals of every operand, ~6 full-array f32 copies live at once)
-# exceed the chip: hardware-measured 12 GB of temps at M = 2^21 — the
-# allocation that stopped the N = 2^20 north-star ladder.
-_UNPACK_SLAB = 131072
-
-
-@functools.partial(jax.jit, donate_argnums=(0, 1))
-def _unpack_power(zr, zi):
-    """Hermitian two-for-one unpack + power spectra (float64, natural
-    frequency order — same algebra as ops/fft._autocorr_packed).
-
-    Small transforms run straight-line: the reversal feeds a fused
-    elementwise chain, and donation aliases zr→p1 / zi→p2 (same
-    shape/dtype). An earlier lax.map COLUMN-slab version transposed
-    the full arrays TWICE (moveaxis in and out) — four extra
-    whole-array copies that were the #1 contributor to the deep
-    path's 16 GB OOM at N=2^17 × 1536.
-
-    Large transforms slab along ROWS instead (contiguous, no
-    transpose): output row k needs input rows k and (M−k) mod M, so a
-    slab [a, a+L) reads its own slice plus the mirrored slice
-    [M−a−L, M−a) flipped, with the single wrap row (M−a) mod M
-    prepended. Peak drops from inputs + ~6 temp copies to
-    inputs + stacked outputs + one slab's temps."""
-    m, w = zr.shape
-    if m <= _UNPACK_SLAB or m % _UNPACK_SLAB:
-        r_rev = jnp.roll(jnp.flip(zr, axis=0), 1, axis=0)
-        i_rev = jnp.roll(jnp.flip(zi, axis=0), 1, axis=0)
-        f1r = 0.5 * (zr + r_rev)
-        f1i = 0.5 * (zi - i_rev)
-        f2r = 0.5 * (zi + i_rev)
-        f2i = 0.5 * (r_rev - zr)
-        return f1r * f1r + f1i * f1i, f2r * f2r + f2i * f2i
-
-    ll = _UNPACK_SLAB
-
-    def slab(a0):
-        a = a0 * ll
-
-        def rev(z):
-            # rev[k] = z[(m − k) mod m] for k in [a, a+L)
-            tail = jax.lax.dynamic_slice(z, (m - a - ll, 0), (ll, w))
-            head = jax.lax.dynamic_slice(z, ((m - a) % m, 0), (1, w))
-            return jnp.concatenate(
-                [head, jnp.flip(tail, axis=0)[: ll - 1]], axis=0)
-
-        zs = jax.lax.dynamic_slice(zr, (a, 0), (ll, w))
-        is_ = jax.lax.dynamic_slice(zi, (a, 0), (ll, w))
-        r_rev = rev(zr)
-        i_rev = rev(zi)
-        f1r = 0.5 * (zs + r_rev)
-        f1i = 0.5 * (is_ - i_rev)
-        f2r = 0.5 * (is_ + i_rev)
-        f2i = 0.5 * (r_rev - zs)
-        return f1r * f1r + f1i * f1i, f2r * f2r + f2i * f2i
-
-    p1, p2 = jax.lax.map(slab, jnp.arange(m // ll))
-    return p1.reshape(m, w), p2.reshape(m, w)
 
 
 # fence eager stages once the working set is big enough that letting
@@ -317,12 +310,12 @@ def raw_autocorr_deep(x, n_out: int):
     zr, zi = _fence(*_deep_fft_fwd_pair(pair, inner, outer, w),
                     tag="fwd")
     del pair
-    p1, p2 = _fence(*_unpack_power(zr, zi), tag="power")
+    # fused unpack + power + conjugate pair split: the inverse of
+    # (p1 + i p2) runs through the forward machinery on (p1 - i p2);
+    # the full-M f64 power spectra are never materialized
+    pair = _fence(*_unpack_to_pair(zr, zi, inner, outer, w),
+                  tag="unpack_to_pair")
     del zr, zi
-    # inverse of (p1 + i p2) by conjugation through the forward path
-    pair = _fence(*_power_to_pair(p1, p2, inner, outer, w),
-                  tag="power_to_pair")
-    del p1, p2
     gr, gi = _fence(*_deep_fft_fwd_pair(pair, inner, outer, w),
                     tag="inv")
     del pair
