@@ -105,7 +105,7 @@ class TestUnpackPowerSlabs:
     """The row-slab fused unpack (the M >= 2^18 HBM fix) is
     bit-identical to the straight-line formulation."""
 
-    @pytest.mark.parametrize("m,slab", [(1024, 128), (4096, 512)])
+    @pytest.mark.parametrize("m,slab", [(1024, 16), (4096, 64)])
     def test_slab_matches_straightline(self, monkeypatch, m, slab):
         rng = np.random.default_rng(5)
         w = 8
@@ -117,8 +117,10 @@ class TestUnpackPowerSlabs:
             jnp.asarray(zr), jnp.asarray(zi), inner, outer, w)
         want = tuple(np.asarray(a) for a in want)
         monkeypatch.setattr(deep_acf, "_UNPACK_SLAB", slab)
-        # pad a zero column so the jit cache (keyed on shapes/statics,
-        # _UNPACK_SLAB is read at trace time) can't reuse the
+        # _UNPACK_SLAB is the row budget AT w=128; at the test's w=8
+        # the slab rows come out 16*slab/... — the small values above
+        # keep ll < m so the lax.map path traces. Pad a zero column so
+        # the jit cache (keyed on shapes/statics) can't reuse the
         # unslabbed trace; columns are independent in the unpack
         zr_p = np.concatenate([zr, np.zeros((m, 1))], axis=1)
         zi_p = np.concatenate([zi, np.zeros((m, 1))], axis=1)

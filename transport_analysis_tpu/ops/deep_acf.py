@@ -143,8 +143,13 @@ def _unpack_to_pair(zr, zi, inner: int, outer: int, w: int):
     single wrap row prepended (same access pattern as _unpack_power's
     row-slab path)."""
     m, _ = zr.shape
-    ll = _UNPACK_SLAB if m % _UNPACK_SLAB == 0 else m
-    if m <= ll:
+    # slab ROWS scale inversely with width: the budget is ELEMENTS
+    # (_UNPACK_SLAB rows at the w=128 reference width — ~6 live slab
+    # temps of 128 MB f64 each). A fixed row count OOMed the
+    # N=2^17 × chunk=682 rung, where w=1024 made each temp 8× larger.
+    ll = max(1, _UNPACK_SLAB * 128 // max(w, 1))
+    ll = 1 << (ll.bit_length() - 1)  # pow2 floor divides pow2 m
+    if m % ll or m <= ll:
         r_rev = jnp.roll(jnp.flip(zr, axis=0), 1, axis=0)
         i_rev = jnp.roll(jnp.flip(zi, axis=0), 1, axis=0)
         f1r = 0.5 * (zr + r_rev)
