@@ -97,19 +97,38 @@ def _from_pairs(pair):
     donate_argnums=(0,),
 )
 def _prepare_pair(x, inner: int, outer: int, w: int, s: int):
-    """(M, s) f64 → engine-layout f32 pairs in ONE donated program:
-    pad, double-float split, and the re/im column slices fuse, so the
-    peak is the donated input + the four outputs — eager composition
-    measured ~2× that (every intermediate materialized)."""
-    x = jnp.pad(x, ((0, 0), (0, 2 * w - s)))
-    hi, lo = _pf._split_pair(x)
-    return tuple(
-        src[:, cols].reshape(inner, outer * w)
-        for src, cols in (
-            (hi, slice(0, w)), (lo, slice(0, w)),
-            (hi, slice(w, None)), (lo, slice(w, None)),
+    """(M, s) f64 → engine-layout f32 pairs.
+
+    Large transforms run as a lax.map over row slabs: XLA does not
+    reliably fuse the pad → double-float split → column slices, and
+    the materialized full-width hi/lo f32 intermediates (~2·8·M·w
+    bytes on top of input + outputs) made this stage's peak ~13 GB at
+    M=2^21 — the nondeterministic OOM at the N=2^20 north-star rung.
+    Slabs bound the intermediates; input + stacked outputs ≈ 8.6 GB.
+    Small transforms keep the straight-line single program (donated
+    input, fused chain)."""
+    m = x.shape[0]
+    ll = max(1, _UNPACK_SLAB * 128 // max(2 * w, 1))
+    ll = 1 << (ll.bit_length() - 1)
+    if m % ll or m <= ll:
+        x = jnp.pad(x, ((0, 0), (0, 2 * w - s)))
+        hi, lo = _pf._split_pair(x)
+        return tuple(
+            src[:, cols].reshape(inner, outer * w)
+            for src, cols in (
+                (hi, slice(0, w)), (lo, slice(0, w)),
+                (hi, slice(w, None)), (lo, slice(w, None)),
+            )
         )
-    )
+
+    def slab(a0):
+        xs = jax.lax.dynamic_slice(x, (a0 * ll, 0), (ll, s))
+        xs = jnp.pad(xs, ((0, 0), (0, 2 * w - s)))
+        hi, lo = _pf._split_pair(xs)
+        return hi[:, :w], lo[:, :w], hi[:, w:], lo[:, w:]
+
+    parts = jax.lax.map(slab, jnp.arange(m // ll))
+    return tuple(a.reshape(inner, outer * w) for a in parts)
 
 
 # rows per slab of the fused unpack stage (128 MB of f64 at w = 128).
