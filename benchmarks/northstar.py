@@ -212,25 +212,28 @@ def main():
 
         stages, hbm_peaks = {}, {}
         t0 = time.perf_counter()
-        vel = synth_vel(k)
+        box = [synth_vel(k)]
         # fence via a cheap reduction: slicing [-1, -1] would compile a
         # dynamic-slice copy whose (8,128) tiling pads the minor dim
         # 3 -> 128 lanes (34 GB for a 0.8 GB array)
-        np.asarray(jnp.sum(vel))
+        np.asarray(jnp.sum(box[0]))
         stages["synth_vel"] = time.perf_counter() - t0
         hbm_peaks["synth_vel"] = _peak_gb()
         t0 = time.perf_counter()
-        np.asarray(ops.acf_fft(vel).sum(axis=1)[-1])
+        # consume the source exactly like the production step — a
+        # held (N, chunk, 3) f64 source adds onto the deep chain's
+        # peak and OOMs the largest rungs
+        np.asarray(ops.acf_fft(box.pop()).sum(axis=1)[-1])
         stages["vacf_fft"] = time.perf_counter() - t0
         hbm_peaks["vacf_fft"] = _peak_gb()
-        del vel
         t0 = time.perf_counter()
-        accum = synth_accum(k)
-        np.asarray(jnp.sum(accum))  # reduction fence (see synth_vel)
+        box = [synth_accum(k)]
+        np.asarray(jnp.sum(box[0]))  # reduction fence (see synth_vel)
         stages["synth_accum"] = time.perf_counter() - t0
         t0 = time.perf_counter()
         np.asarray(
-            ops.einstein_difference_fft(accum, "mean").sum(axis=1)[-1]
+            ops.einstein_difference_fft(box.pop(), "mean")
+            .sum(axis=1)[-1]
         )
         stages["helfand_fft"] = time.perf_counter() - t0
         hbm_peaks["helfand_fft"] = _peak_gb()
