@@ -113,14 +113,21 @@ class TestDeepPlumbing:
         re = rng.standard_normal((inner, outer * w))
         im = rng.standard_normal((inner, outer * w))
         t = DA._outer_tables(inner, outer)
-        # fresh device copies per call: the stage donates re/im
+
+        def pairs():
+            # fresh device copies per call: the stage donates the pair
+            out = []
+            for comp in (re, im):
+                hi = comp.astype(np.float32)
+                lo = (comp - hi.astype(np.float64)).astype(np.float32)
+                out.extend([jnp.asarray(hi), jnp.asarray(lo)])
+            return out
+
         want = DA._twiddle_and_outer(
-            jnp.asarray(re), jnp.asarray(im),
-            t["twc"], t["tws"], t["dc"], t["ds"],
+            *pairs(), t["twc"], t["tws"], t["dc"], t["ds"],
             inner, outer, w, n_slices=7, max_band=6)
         got = DA._twiddle_and_outer(
-            jnp.asarray(re), jnp.asarray(im),
-            t["twc"], t["tws"], t["dc"], t["ds"],
+            *pairs(), t["twc"], t["tws"], t["dc"], t["ds"],
             inner, outer, w, n_slices=5, max_band=4)
         for a, b in zip(want, got):
             scale = float(np.abs(np.asarray(a)).max())

@@ -85,11 +85,18 @@ def _outer_tables(inner: int, outer: int):
     }
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
-def _from_pairs(pair):
-    re = pair[0].astype(jnp.float64) + pair[1].astype(jnp.float64)
-    im = pair[2].astype(jnp.float64) + pair[3].astype(jnp.float64)
-    return re, im
+@functools.lru_cache(maxsize=4)
+def _outer_tables_inv(inner: int, outer: int, n_out: int):
+    """Row-trimmed, 1/M-prescaled outer DFT matrices for the inverse
+    transform: only rows k2 < ceil(n_out / inner) of the k-major
+    output are kept (the autocorrelation keeps n_out <= M/2 lags, so
+    at least half the outer GEMM and its output traffic disappears),
+    and the exact power-of-two 1/M scale rides the tiny host matrices
+    instead of a full-size elementwise pass."""
+    t = _outer_tables(inner, outer)
+    nr = -(-n_out // inner)
+    inv_m = 1.0 / (inner * outer)
+    return t["twc"], t["tws"], t["dc"][:nr] * inv_m, t["ds"][:nr] * inv_m
 
 
 @functools.partial(
@@ -211,58 +218,94 @@ _K1_SLAB = 8192  # k1 rows per sequential slab in the outer stage
 
 @functools.partial(
     jax.jit,
-    static_argnames=("inner", "outer", "w", "n_slices", "max_band"),
-    donate_argnums=(0, 1))
-def _twiddle_and_outer(re, im, twc, tws, dc, ds,
+    static_argnames=("inner", "outer", "w", "n_slices", "max_band",
+                     "final_s", "final_n"),
+    donate_argnums=(0, 1, 2, 3))
+def _twiddle_and_outer(rh, rl, ih, il, twc, tws, dc, ds,
                        inner: int, outer: int, w: int,
-                       n_slices: int = None, max_band: int = None):
+                       n_slices: int = None, max_band: int = None,
+                       final_s: int = None, final_n: int = None):
     """(T * W_M^{k1 j2}) then DFT_{n_outer} over j2, in float64 with
     the Ozaki banded complex product (the contraction is tiny).
+
+    Consumes the engine's double-float (hi, lo) pairs DIRECTLY — the
+    f64 reconstruction happens per slab (fused with the twiddle
+    multiply), so the full-size float64 re/im arrays of the former
+    _from_pairs stage are never materialized: one whole HBM pass per
+    transform removed, and the slab input reads halve.
 
     Runs as a lax.map over k1 slabs: columns are independent, and the
     banded product's full rhs band stack at inner*w ~ 8M columns would
     otherwise materialize ~7 GB of bf16 bands (plus f64 temps — a
     hardware-measured 36 GB peak). Sequential slabs bound the live set
-    while keeping ONE dispatched program."""
+    while keeping ONE dispatched program.
+
+    ``dc``/``ds`` may be row-trimmed (see _outer_tables_inv): only the
+    leading k2 rows of the k-major output are computed. When
+    ``final_s``/``final_n`` are set the program also emits the
+    assembled autocorrelation ``concat([zr, -zi], 1)[:final_n,
+    :final_s]`` — the raw_autocorr_deep epilogue, fused here instead
+    of running as separate eager full-size passes."""
     from .ozaki import complex_dft_matmul
 
     n_slab = max(1, inner // _K1_SLAB)
-    re = re.reshape(n_slab, _K1_SLAB, outer, w)
-    im = im.reshape(n_slab, _K1_SLAB, outer, w)
-    twc = twc.reshape(n_slab, _K1_SLAB, outer, 1)
-    tws = tws.reshape(n_slab, _K1_SLAB, outer, 1)
+    k1s = inner // n_slab
+
+    def eng(a):
+        return a.reshape(n_slab, k1s, outer, w)
+
+    rh, rl, ih, il = eng(rh), eng(rl), eng(ih), eng(il)
+    twc = twc.reshape(n_slab, k1s, outer, 1)
+    tws = tws.reshape(n_slab, k1s, outer, 1)
 
     def slab(args):
-        r, i, tc, ts = args
+        rh_, rl_, ih_, il_, tc, ts = args
+        r = rh_.astype(jnp.float64) + rl_.astype(jnp.float64)
+        i = ih_.astype(jnp.float64) + il_.astype(jnp.float64)
         tr = r * tc - i * ts
         ti = r * ts + i * tc
-        tr = jnp.moveaxis(tr, 1, 0).reshape(outer, _K1_SLAB * w)
-        ti = jnp.moveaxis(ti, 1, 0).reshape(outer, _K1_SLAB * w)
+        tr = jnp.moveaxis(tr, 1, 0).reshape(outer, k1s * w)
+        ti = jnp.moveaxis(ti, 1, 0).reshape(outer, k1s * w)
         return complex_dft_matmul(dc, ds, tr, ti,
                                   n_slices=n_slices, max_band=max_band)
 
-    zr, zi = jax.lax.map(slab, (re, im, twc, tws))
-    # (n_slab, outer, slab*w) -> rows k2, cols (k1, w) -> k-major rows
-    zr = jnp.moveaxis(zr, 0, 1).reshape(outer * inner, w)
-    zi = jnp.moveaxis(zi, 0, 1).reshape(outer * inner, w)
-    return zr, zi
+    zr, zi = jax.lax.map(slab, (rh, rl, ih, il, twc, tws))
+    # (n_slab, nr, slab*w) -> rows k2, cols (k1, w) -> k-major rows
+    nr = dc.shape[0]
+    zr = jnp.moveaxis(zr, 0, 1).reshape(nr * inner, w)
+    zi = jnp.moveaxis(zi, 0, 1).reshape(nr * inner, w)
+    if final_s is None:
+        return zr, zi
+    return (jnp.concatenate(
+        [zr[:final_n], -zi[:final_n]], axis=1)[:, :final_s],)
 
 
-def _deep_fft_fwd_pair(pair, inner: int, outer: int, w: int):
+def _deep_fft_fwd_pair(pair, inner: int, outer: int, w: int,
+                       n_out: int = None, s: int = None):
     """Forward FFT via engine + outer level. ``pair`` is the complex
     double-float (re_hi, re_lo, im_hi, im_lo), each (inner, outer*w)
     float32 — DONATED to the engine, so callers must drop their f64
-    sources before calling (HBM peak discipline). float64 out."""
-    t = _outer_tables(inner, outer)
+    sources before calling (HBM peak discipline). float64 out.
+
+    With ``n_out``/``s`` set (the inverse-by-conjugation leg of the
+    autocorrelation), the outer stage is row-trimmed + 1/M-prescaled
+    and emits the assembled (n_out, s) result directly."""
     # one profile for both levels: the engine reads it internally,
     # the Ozaki outer DFT takes it as statics (same 7-bit band grid)
     n_bands, max_group = _pf._profile(jnp.float64)
     pair = _pf.fft_banded_pair(pair, wt=_DEEP_WT)
-    tre, tim = _fence(*_from_pairs(pair))
-    del pair
-    return _twiddle_and_outer(tre, tim, t["twc"], t["tws"], t["dc"],
-                              t["ds"], inner, outer, w,
-                              n_slices=n_bands, max_band=max_group)
+    pair = _fence(*pair, tag="engine")
+    if n_out is None:
+        t = _outer_tables(inner, outer)
+        twc, tws, dc, ds = t["twc"], t["tws"], t["dc"], t["ds"]
+        final = {}
+    else:
+        twc, tws, dc, ds = _outer_tables_inv(inner, outer, n_out)
+        final = {"final_s": s, "final_n": n_out}
+    return _twiddle_and_outer(*pair, twc, tws, dc, ds,
+                              inner, outer, w,
+                              n_slices=n_bands, max_band=max_group,
+                              **final)
 
 
 # fence eager stages once the working set is big enough that letting
@@ -340,13 +383,12 @@ def raw_autocorr_deep(x, n_out: int):
     pair = _fence(*_unpack_to_pair(zr, zi, inner, outer, w),
                   tag="unpack_to_pair")
     del zr, zi
-    gr, gi = _fence(*_deep_fft_fwd_pair(pair, inner, outer, w),
-                    tag="inv")
+    # inverse-by-conjugation leg: row-trimmed outer DFT with the 1/M
+    # scale folded into the (tiny) DFT matrices, epilogue fused in
+    (out,) = _fence(
+        *_deep_fft_fwd_pair(pair, inner, outer, w, n_out=n_out, s=s),
+        tag="inv")
     del pair
-    inv_m = 1.0 / m
-    gr = gr[:n_out] * inv_m
-    gi = gi[:n_out] * (-inv_m)
-    out = jnp.concatenate([gr, gi], axis=1)[:, :s]
     if _HBM_DEBUG:
         _fence(out, tag="deep_done")
     return out
