@@ -87,6 +87,21 @@ class TestCompositionAlgebra:
         scale = np.abs(ref).max()
         assert np.max(np.abs(out - ref)) / scale < 1e-11
 
+    def test_non_pow2_series_length(self, fake_engine):
+        # non-pow2 N: n_out < M/2, exercising the row-trimmed
+        # (ceil(n_out/inner) rows) 1/M-prescaled inverse outer DFT
+        rng = np.random.default_rng(23)
+        n, s = 40000, 5
+        m = 2 * acf.next_pow_2(n)  # 131072
+        inner, outer = deep_acf._split_m(m)
+        assert n < inner  # trim keeps a single outer row
+        x = rng.standard_normal((n, s))
+        xp = jnp.pad(jnp.asarray(x), ((0, m - n), (0, 0)))
+        out = np.asarray(deep_acf.raw_autocorr_deep(xp, n))
+        assert out.shape == (n, s)
+        ref = acf.acf_fft_numpy(x[:, :, None]) * (n - np.arange(n))[:, None]
+        assert np.max(np.abs(out - ref)) / np.abs(ref).max() < 1e-11
+
     def test_outer_4(self, fake_engine):
         # exercise a >2 outer factor and the k-major row interleave
         rng = np.random.default_rng(11)
