@@ -141,12 +141,14 @@ class TestUnpackPowerSlabs:
         zi_p = np.concatenate([zi, np.zeros((m, 1))], axis=1)
         got = deep_acf._unpack_to_pair(
             jnp.asarray(zr_p), jnp.asarray(zi_p), inner, outer, w + 1)
-        # undo the engine-layout reshape, drop the pad column
+        # undo the (w, j2)-lane engine layout, drop the pad column
         got = tuple(
-            np.asarray(a).reshape(m, w + 1)[:, :w] for a in got
+            np.asarray(a).reshape(inner, w + 1, outer)[:, :w, :]
+            for a in got
         )
         for a, b in zip(want, got):
-            np.testing.assert_array_equal(np.asarray(a).reshape(m, w), b)
+            np.testing.assert_array_equal(
+                np.asarray(a).reshape(inner, w, outer), b)
 
 
 class TestDispatchWiring:
@@ -232,10 +234,14 @@ class TestUnpackToPair:
         rh, rl, ih, il = D._unpack_to_pair(
             jnp.asarray(zr), jnp.asarray(zi), inner, outer, w
         )
-        got_re = (np.asarray(rh, np.float64)
-                  + np.asarray(rl, np.float64)).reshape(m, w)
-        got_im = (np.asarray(ih, np.float64)
-                  + np.asarray(il, np.float64)).reshape(m, w)
+
+        def unturn(a):
+            # (inner, (w, j2)) engine layout -> k-major (m, w)
+            return np.asarray(a, np.float64).reshape(
+                inner, w, outer).swapaxes(1, 2).reshape(m, w)
+
+        got_re = unturn(rh) + unturn(rl)
+        got_im = unturn(ih) + unturn(il)
 
         r_rev = np.roll(zr[::-1], 1, axis=0)
         i_rev = np.roll(zi[::-1], 1, axis=0)

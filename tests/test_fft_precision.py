@@ -102,20 +102,21 @@ class TestTrimmedComplexProduct:
 
 
 class TestDeepPlumbing:
-    def test_twiddle_stage_accepts_profile(self):
-        """The deep outer stage's static profile args thread through
-        to the Ozaki product (composition algebra on tiny shapes; the
-        fused engine itself is TPU-only)."""
+    def test_outer_kernel_accepts_profile(self):
+        """The fused outer kernel's static profile args (n_bands,
+        max_group) thread through to the banded MXU product, and the
+        full profile matches the host f64 twiddle+DFT algebra
+        (interpret mode on CPU; hardware runs in
+        tests/test_tpu_equivalence.py)."""
         from transport_analysis_tpu.ops import deep_acf as DA
 
-        inner, outer, w = 8192, 4, 1
+        inner, outer, w = 512, 4, 32
         rng = np.random.default_rng(3)
-        re = rng.standard_normal((inner, outer * w))
-        im = rng.standard_normal((inner, outer * w))
-        t = DA._outer_tables(inner, outer)
+        re = rng.standard_normal((inner, w * outer))
+        im = rng.standard_normal((inner, w * outer))
 
         def pairs():
-            # fresh device copies per call: the stage donates the pair
+            # fresh device copies per call: the kernel donates the pair
             out = []
             for comp in (re, im):
                 hi = comp.astype(np.float32)
@@ -123,13 +124,35 @@ class TestDeepPlumbing:
                 out.extend([jnp.asarray(hi), jnp.asarray(lo)])
             return out
 
-        want = DA._twiddle_and_outer(
-            *pairs(), t["twc"], t["tws"], t["dc"], t["ds"],
-            inner, outer, w, n_slices=7, max_band=6)
-        got = DA._twiddle_and_outer(
-            *pairs(), t["twc"], t["tws"], t["dc"], t["ds"],
-            inner, outer, w, n_slices=5, max_band=4)
-        for a, b in zip(want, got):
-            scale = float(np.abs(np.asarray(a)).max())
-            err = float(np.abs(np.asarray(a) - np.asarray(b)).max())
-            assert 1e-16 < err / scale < 1e-8  # trimmed, but in-grade
+        def run(nb, mg):
+            t = DA._outer_kernel_tables(inner, outer, nb)
+            o = DA._outer_level_pallas(
+                *pairs(), *t, inner=inner, outer=outer, w=w,
+                n_bands=nb, max_group=mg)
+            o = [np.asarray(a, np.float64) for a in o]
+            return o[0] + o[1], o[2] + o[3]
+
+        want_re, want_im = run(7, 6)
+        got_re, got_im = run(5, 4)
+
+        # full profile ≡ host algebra: Z = (T * W_M^{k1 j2}) DFT_outer
+        mm = inner * outer
+        k1 = np.arange(inner)[:, None]
+        j2 = np.arange(outer)[None, :]
+        tw = np.exp(-2j * np.pi * (k1 * j2 % mm) / mm)
+        wout = np.exp(
+            -2j * np.pi
+            * np.outer(np.arange(outer), np.arange(outer)) / outer)
+        z = (re + 1j * im).reshape(inner, w, outer)
+        ref = (z * tw[:, None, :]) @ wout
+        scale = np.abs(ref).max()
+        assert np.abs(
+            want_re - ref.real.reshape(inner, w * outer)
+        ).max() / scale < 1e-12
+        assert np.abs(
+            want_im - ref.imag.reshape(inner, w * outer)
+        ).max() / scale < 1e-12
+
+        err = max(np.abs(want_re - got_re).max(),
+                  np.abs(want_im - got_im).max())
+        assert 1e-16 < err / scale < 1e-8  # trimmed, but in-grade

@@ -10,13 +10,20 @@ module composes ONE extra four-step level around the engine instead:
 
     x[j],  j = j1*n_outer + j2         (j1 < M_inner, j2 < n_outer)
     T[k1, j2]  = FFT_{M_inner} over j1          (fused engine, batched)
-    T         *= W_M^{k1 j2}                    (f64 twiddle, XLA)
-    Z[k2, k1] = DFT_{n_outer} over j2           (Ozaki banded GEMMs)
+    Z[k2, k1] = DFT_{n_outer}(T * W_M^{k1 j2})  (fused Pallas kernel)
     k = k2*M_inner + k1                         (rows land k-major)
 
-which reaches M = 65536*256 = 2^24 (8.4M frames). The Hermitian
-unpack + power spectrum runs in XLA float64, and the inverse reuses
-the forward machinery via conjugation, so no new kernels exist here.
+which reaches M = 65536*256 = 2^24 (8.4M frames). The twiddle + outer
+DFT is ONE Pallas kernel (`_outer_level_pallas`): the twiddle multiply
+runs in double-float f32 pair arithmetic on the VPU, the data is
+band-sliced in VMEM, and the tiny DFT_n_outer contracts as a
+block-diagonal int8 MXU product — series columns are laid out
+(w, j2) so each 128-lane tile holds whole j2 groups. (The previous
+XLA formulation — f64 twiddle pass + Ozaki banded GEMMs through HBM —
+measured ~40x its traffic model: band extraction passes, 56 small
+GEMMs, and f32 partial round-trips; see BENCH_NOTES "deep outer
+kernel".) The Hermitian unpack + power spectrum runs in XLA float64,
+and the inverse reuses the forward machinery via conjugation.
 
 Composition is EAGER (each stage is its own jit): tracing the engine
 inside an outer jit embeds its banded constants as program literals
@@ -37,8 +44,12 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from . import pallas_fft as _pf
+
+_Z0 = np.int32(0)   # index-map constant (see pallas_fft)
 
 _MAX_OUTER = 256
 # 128-column tiles keep the single-shot inner transform at M = 65536,
@@ -85,18 +96,75 @@ def _outer_tables(inner: int, outer: int):
     }
 
 
+# rows per kernel block of the fused outer-level kernel
+_OUTER_ROWS = 512
+
+
+def _outer_lane(outer: int):
+    """Kernel lane width L (>= one lane tile) and w's per block."""
+    lane = max(128, outer)
+    return lane, lane // outer
+
+
 @functools.lru_cache(maxsize=4)
-def _outer_tables_inv(inner: int, outer: int, n_out: int):
-    """Row-trimmed, 1/M-prescaled outer DFT matrices for the inverse
-    transform: only rows k2 < ceil(n_out / inner) of the k-major
-    output are kept (the autocorrelation keeps n_out <= M/2 lags, so
-    at least half the outer GEMM and its output traffic disappears),
-    and the exact power-of-two 1/M scale rides the tiny host matrices
-    instead of a full-size elementwise pass."""
-    t = _outer_tables(inner, outer)
-    nr = -(-n_out // inner)
-    inv_m = 1.0 / (inner * outer)
-    return t["twc"], t["tws"], t["dc"][:nr] * inv_m, t["ds"][:nr] * inv_m
+def _outer_kernel_tables(inner: int, outer: int, n_bands: int):
+    """Device constants for the fused outer-level kernel.
+
+    Twiddle tables W_M^(k1 j2) as double-float (hi, lo) f32 pairs of
+    shape (inner, L) — lane i covers (w_local, j2) = (i // outer,
+    i % outer), the same factor tiled over the block's w's — plus the
+    banded int8 rhs stacks of the BLOCK-DIAGONAL outer DFT: L/outer
+    copies of DFT_outer^T on the diagonal, so a (rows, L) data block
+    contracts every w-group's j2 axis in ONE MXU product with zero
+    cross-group mixing. Angles are combined on device from two tiny
+    host-exact factor tables (k1 = a*256 + b) via the angle-addition
+    identity — shipping the full (inner, outer) f64 table through the
+    host tunnel costs seconds, the combine is one small fused kernel
+    (same trick as pallas_fft._build_constants)."""
+    lane, wg = _outer_lane(outer)
+    mm = inner * outer
+    sb = min(256, inner)
+    na = inner // sb
+    a_idx = (np.arange(na)[:, None] * sb) * np.arange(outer)[None, :]
+    b_idx = np.arange(sb)[:, None] * np.arange(outer)[None, :]
+    ang_a = 2.0 * np.pi * (a_idx % mm) / mm
+    ang_b = 2.0 * np.pi * (b_idx % mm) / mm
+
+    jj = np.arange(outer)
+    th = 2.0 * np.pi * np.outer(jj, jj) / outer
+    bd_c = np.kron(np.eye(wg), np.cos(th).T)
+    bd_s = np.kron(np.eye(wg), (-np.sin(th)).T)
+
+    @functools.partial(jax.jit, static_argnames=("nb",))
+    def build(ca, sa, cb, sbn, bdc, bds, nb):
+        # cos/sin(ang_a + ang_b) per (a, b, j2), minus sign folded into
+        # the host tables' convention: twc = cos, tws = -sin
+        c = ca[:, None, :] * cb[None] - sa[:, None, :] * sbn[None]
+        s = sa[:, None, :] * cb[None] + ca[:, None, :] * sbn[None]
+        twc = c.reshape(inner, outer)
+        tws = (-s).reshape(inner, outer)
+        tw = tuple(
+            jnp.tile(t, (1, wg)) for t in (twc, tws)
+        )
+        tch, tcl = _pf._split_pair(tw[0])
+        tsh, tsl = _pf._split_pair(tw[1])
+        cbands = _pf._slice_bands_dev(bdc, nb)
+        sbands = _pf._slice_bands_dev(bds, nb)
+        rhs_re = jnp.concatenate(
+            [jnp.concatenate([cbands[q], -sbands[q]], axis=0)
+             for q in range(nb)], axis=0)
+        rhs_im = jnp.concatenate(
+            [jnp.concatenate([sbands[q], cbands[q]], axis=0)
+             for q in range(nb)], axis=0)
+        return tch, tcl, tsh, tsl, rhs_re, rhs_im
+
+    f64 = jnp.float64
+    with jax.ensure_compile_time_eval():
+        out = build(
+            jnp.asarray(np.cos(ang_a), f64), jnp.asarray(np.sin(ang_a), f64),
+            jnp.asarray(np.cos(ang_b), f64), jnp.asarray(np.sin(ang_b), f64),
+            jnp.asarray(bd_c, f64), jnp.asarray(bd_s, f64), nb=n_bands)
+    return jax.tree_util.tree_map(jax.block_until_ready, out)
 
 
 @functools.partial(
@@ -104,24 +172,34 @@ def _outer_tables_inv(inner: int, outer: int, n_out: int):
     donate_argnums=(0,),
 )
 def _prepare_pair(x, inner: int, outer: int, w: int, s: int):
-    """(M, s) f64 → engine-layout f32 pairs.
+    """(M, s) f64 → engine-layout f32 pairs, lanes (w, j2): column
+    w_c*outer + j2 carries series w_c's decimation residue j2, so the
+    outer kernel's 128-lane tiles contract whole j2 groups in place.
 
     Large transforms run as a lax.map over row slabs: XLA does not
     reliably fuse the pad → double-float split → column slices, and
     the materialized full-width hi/lo f32 intermediates (~2·8·M·w
     bytes on top of input + outputs) made this stage's peak ~13 GB at
     M=2^21 — the nondeterministic OOM at the N=2^20 north-star rung.
-    Slabs bound the intermediates; input + stacked outputs ≈ 8.6 GB.
-    Small transforms keep the straight-line single program (donated
-    input, fused chain)."""
+    Slabs bound the intermediates (the (outer, w) corner turn happens
+    per slab); input + stacked outputs ≈ 8.6 GB. Small transforms
+    keep the straight-line single program (donated input, fused
+    chain)."""
     m = x.shape[0]
+
+    def turn(a, rows):
+        # rows consecutive j = j1*outer + j2 -> lanes (w, j2)
+        return a.reshape(rows // outer, outer, w).swapaxes(
+            1, 2).reshape(rows // outer, w * outer)
+
     ll = max(1, _UNPACK_SLAB * 128 // max(2 * w, 1))
     ll = 1 << (ll.bit_length() - 1)
+    ll = max(ll, outer)
     if m % ll or m <= ll:
         x = jnp.pad(x, ((0, 0), (0, 2 * w - s)))
         hi, lo = _pf._split_pair(x)
         return tuple(
-            src[:, cols].reshape(inner, outer * w)
+            turn(src[:, cols], m).reshape(inner, w * outer)
             for src, cols in (
                 (hi, slice(0, w)), (lo, slice(0, w)),
                 (hi, slice(w, None)), (lo, slice(w, None)),
@@ -132,10 +210,12 @@ def _prepare_pair(x, inner: int, outer: int, w: int, s: int):
         xs = jax.lax.dynamic_slice(x, (a0 * ll, 0), (ll, s))
         xs = jnp.pad(xs, ((0, 0), (0, 2 * w - s)))
         hi, lo = _pf._split_pair(xs)
-        return hi[:, :w], lo[:, :w], hi[:, w:], lo[:, w:]
+        return tuple(
+            turn(a, ll)
+            for a in (hi[:, :w], lo[:, :w], hi[:, w:], lo[:, w:]))
 
     parts = jax.lax.map(slab, jnp.arange(m // ll))
-    return tuple(a.reshape(inner, outer * w) for a in parts)
+    return tuple(a.reshape(inner, w * outer) for a in parts)
 
 
 # rows per slab of the fused unpack stage (128 MB of f64 at w = 128).
@@ -173,8 +253,14 @@ def _unpack_to_pair(zr, zi, inner: int, outer: int, w: int):
     # (_UNPACK_SLAB rows at the w=128 reference width — ~6 live slab
     # temps of 128 MB f64 each). A fixed row count OOMed the
     # N=2^17 × chunk=682 rung, where w=1024 made each temp 8× larger.
+    def turn(a, rows):
+        # rows consecutive j = j1*outer + j2 -> lanes (w, j2)
+        return a.reshape(rows // outer, outer, w).swapaxes(
+            1, 2).reshape(rows // outer, w * outer)
+
     ll = max(1, _UNPACK_SLAB * 128 // max(w, 1))
     ll = 1 << (ll.bit_length() - 1)  # pow2 floor divides pow2 m
+    ll = max(ll, outer)
     if m % ll or m <= ll:
         r_rev = jnp.roll(jnp.flip(zr, axis=0), 1, axis=0)
         i_rev = jnp.roll(jnp.flip(zi, axis=0), 1, axis=0)
@@ -185,7 +271,8 @@ def _unpack_to_pair(zr, zi, inner: int, outer: int, w: int):
         rh, rl = _pf._split_pair(f1r * f1r + f1i * f1i)
         ih, il = _pf._split_pair(-(f2r * f2r + f2i * f2i))
         return tuple(
-            a.reshape(inner, outer * w) for a in (rh, rl, ih, il)
+            turn(a, m).reshape(inner, w * outer)
+            for a in (rh, rl, ih, il)
         )
 
     def slab(a0):
@@ -207,105 +294,253 @@ def _unpack_to_pair(zr, zi, inner: int, outer: int, w: int):
         f2i = 0.5 * (r_rev - zs)
         rh, rl = _pf._split_pair(f1r * f1r + f1i * f1i)
         ih, il = _pf._split_pair(-(f2r * f2r + f2i * f2i))
-        return rh, rl, ih, il
+        return tuple(turn(a_, ll) for a_ in (rh, rl, ih, il))
 
     parts = jax.lax.map(slab, jnp.arange(m // ll))
-    return tuple(a.reshape(inner, outer * w) for a in parts)
+    return tuple(a.reshape(inner, w * outer) for a in parts)
 
 
-_K1_SLAB = 8192  # k1 rows per sequential slab in the outer stage
+def _df_mul(ah, al, bh, bl):
+    """Double-float product: exact ah*bh via a Dekker/Veltkamp split
+    (no FMA on the VPU) plus first-order cross terms (~2^-46)."""
+    c = ah * np.float32(4097.0)
+    hh = c - (c - ah)
+    ht = ah - hh
+    d = bh * np.float32(4097.0)
+    gh = d - (d - bh)
+    gt = bh - gh
+    p = ah * bh
+    e = ((hh * gh - p) + hh * gt + ht * gh) + ht * gt
+    return p, e + (ah * bl + al * bh)
+
+
+def _slice_pair_cols_into(ref, lane: int, pos, hi, lo,
+                          hi_bands=None):
+    """Write one band slab [RE_q | IM_q] per significance position into
+    the (rows, 2*lane*(nb+1)) int8 lhs scratch; ``pos`` maps band q to
+    slab position (bands stacked REVERSED left-to-right so the grouped
+    dots take suffixes). hi/lo are ((rh, rl), (ih, il))."""
+    (rh, rl), (ih, il) = hi, lo
+    if hi_bands is None:
+        hi_bands = _pf._HI_BANDS
+    n = len(pos)
+    rr, ri = rh, ih
+    for q in range(n):
+        if q == hi_bands:
+            rr = rr + rl
+            ri = ri + il
+        s = np.float32(2.0 ** (_pf._DELTA * (q + 1) - 1))
+        g = np.float32(2.0 ** -(_pf._DELTA * (q + 1) - 1))
+        mr = jnp.rint(rr * s)
+        mi = jnp.rint(ri * s)
+        base = pos[q] * 2 * lane
+        ref[:, base: base + lane] = mr.astype(jnp.int8)
+        ref[:, base + lane: base + 2 * lane] = mi.astype(jnp.int8)
+        rr = rr - mr * g
+        ri = ri - mi * g
+
+
+def _outer_kernel_body(n_bands: int, max_group: int, lane: int,
+                       rre_ref, rim_ref,
+                       rh_ref, rl_ref, ih_ref, il_ref,
+                       tch_ref, tcl_ref, tsh_ref, tsl_ref,
+                       orh_ref, orl_ref, oih_ref, oil_ref,
+                       lhs_scratch):
+    """Fused twiddle + outer DFT on one (rows, L) block.
+
+    The engine's double-float pair is twiddled IN PAIR ARITHMETIC
+    (Dekker products — never a float64 op, Mosaic is f32-only), scaled
+    per ROW by an exact power of two, band-sliced into the int8 lhs
+    scratch (data is the LHS here; the tiny block-diagonal DFT is the
+    constant RHS), contracted with one exact int8 MXU product per
+    significance group, merged, and unscaled. An extra (n_bands+1)-th
+    data band pairs with the rhs's leading band to absorb the scale
+    slack of lanes quieter than their row's loudest lane (same trick
+    as the engine's fused power-spectrum slicing)."""
+    rh, rl = rh_ref[:], rl_ref[:]
+    ih, il = ih_ref[:], il_ref[:]
+    tch, tcl = tch_ref[:], tcl_ref[:]
+    tsh, tsl = tsh_ref[:], tsl_ref[:]
+
+    # (r + i*i_) * (tc + i*ts): tr = r*tc - i*ts, ti = r*ts + i*tc
+    if _pf._interpret():
+        # XLA:CPU's LLVM backend contracts mul+add chains into FMAs
+        # inside fused loops, which silently breaks the Dekker/TwoSum
+        # error-free transforms below (hardware-measured: the f32
+        # rounding of a*b simply never happens, ~2^-24 of the product
+        # leaks). Interpret mode = CPU tests only, where native f64 is
+        # available and exact; Mosaic preserves the pair arithmetic
+        # 1:1 (the engine's identical EFTs are TPU-hardware-validated
+        # at 1.7e-13). Pow2-scaled products (band slicing, _merge)
+        # are contraction-safe everywhere — fma(x, 2^-k, y) rounds
+        # identically because the product is exact.
+        f64 = jnp.float64
+        r64 = rh.astype(f64) + rl.astype(f64)
+        i64 = ih.astype(f64) + il.astype(f64)
+        tc = tch.astype(f64) + tcl.astype(f64)
+        ts = tsh.astype(f64) + tsl.astype(f64)
+        tr64 = r64 * tc - i64 * ts
+        ti64 = r64 * ts + i64 * tc
+        tr_h = tr64.astype(jnp.float32)
+        tr_l = (tr64 - tr_h.astype(f64)).astype(jnp.float32)
+        ti_h = ti64.astype(jnp.float32)
+        ti_l = (ti64 - ti_h.astype(f64)).astype(jnp.float32)
+    else:
+        ar, al = _df_mul(rh, rl, tch, tcl)
+        br, bl = _df_mul(ih, il, tsh, tsl)
+        tr_h, tr_l = _pf._df_add(ar, al, -br, -bl)
+        cr, cl = _df_mul(rh, rl, tsh, tsl)
+        dr, dl = _df_mul(ih, il, tch, tcl)
+        ti_h, ti_l = _pf._df_add(cr, cl, dr, dl)
+
+    s = _pf._pow2_ceil_f32(jnp.max(
+        jnp.maximum(jnp.abs(tr_h), jnp.abs(ti_h)),
+        axis=1, keepdims=True))
+    inv = 1.0 / s
+
+    # bands n..0 left-to-right (position p holds band n-p; the extra
+    # band n sits leftmost and is consumed by the suffix of nothing —
+    # only the explicit extra product below reads it)
+    pos = [n_bands - q for q in range(n_bands + 1)]
+    _slice_pair_cols_into(
+        lhs_scratch, lane, pos,
+        (tr_h * inv, tr_l * inv), (ti_h * inv, ti_l * inv))
+
+    k_slab = 2 * lane
+    k_total = k_slab * (n_bands + 1)
+
+    def dots(rhs_ref):
+        groups = [
+            jax.lax.dot(
+                lhs_scratch[:, k_total - k_slab * (g + 1):],
+                rhs_ref[: k_slab * (g + 1)],
+                preferred_element_type=jnp.int32,
+            )
+            for g in range(max_group + 1)
+        ]
+        # _merge scales by LIST POSITION (see pallas_fft._inva's
+        # dots_extra): zero-fill to put the extra product at ulp
+        # 2^-(7*n_bands+12)
+        for _ in range(max_group + 1, n_bands):
+            groups.append(jnp.zeros_like(groups[0]))
+        groups.append(jax.lax.dot(
+            lhs_scratch[:, :k_slab], rhs_ref[:k_slab],
+            preferred_element_type=jnp.int32,
+        ))
+        return groups
+
+    re_hi, re_lo = _pf._merge(dots(rre_ref))
+    im_hi, im_lo = _pf._merge(dots(rim_ref))
+    orh_ref[:] = re_hi * s
+    orl_ref[:] = re_lo * s
+    oih_ref[:] = im_hi * s
+    oil_ref[:] = im_lo * s
 
 
 @functools.partial(
-    jax.jit,
-    static_argnames=("inner", "outer", "w", "n_slices", "max_band",
-                     "final_s", "final_n"),
+    jax.jit, static_argnames=("inner", "outer", "w", "n_bands",
+                              "max_group"),
     donate_argnums=(0, 1, 2, 3))
-def _twiddle_and_outer(rh, rl, ih, il, twc, tws, dc, ds,
-                       inner: int, outer: int, w: int,
-                       n_slices: int = None, max_band: int = None,
-                       final_s: int = None, final_n: int = None):
-    """(T * W_M^{k1 j2}) then DFT_{n_outer} over j2, in float64 with
-    the Ozaki banded complex product (the contraction is tiny).
+def _outer_level_pallas(rh, rl, ih, il, tch, tcl, tsh, tsl,
+                        rhs_re, rhs_im, inner: int, outer: int,
+                        w: int, n_bands: int, max_group: int):
+    """Run the fused twiddle+outer kernel over the (inner, w*outer)
+    engine output pair (lanes (w, j2)); emits the spectrum pair in the
+    same layout with lanes (w, k2)."""
+    lane, wg = _outer_lane(outer)
+    rows = min(_OUTER_ROWS, inner)
+    n_r = inner // rows
+    n_l = (w * outer) // lane
 
-    Consumes the engine's double-float (hi, lo) pairs DIRECTLY — the
-    f64 reconstruction happens per slab (fused with the twiddle
-    multiply), so the full-size float64 re/im arrays of the former
-    _from_pairs stage are never materialized: one whole HBM pass per
-    transform removed, and the slab input reads halve.
+    data_spec = pl.BlockSpec((rows, lane), lambda r, l: (r, l),
+                             memory_space=pltpu.VMEM)
+    tw_spec = pl.BlockSpec((rows, lane), lambda r, l: (r, _Z0),
+                           memory_space=pltpu.VMEM)
+    rhs_spec = pl.BlockSpec(rhs_re.shape, lambda r, l: (_Z0, _Z0),
+                            memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+    outs = pl.pallas_call(
+        functools.partial(_outer_kernel_body, n_bands, max_group, lane),
+        grid=(n_r, n_l),
+        in_specs=[rhs_spec, rhs_spec] + [data_spec] * 4 + [tw_spec] * 4,
+        out_specs=(data_spec,) * 4,
+        out_shape=(jax.ShapeDtypeStruct((inner, w * outer), f32),) * 4,
+        scratch_shapes=[
+            pltpu.VMEM((rows, 2 * lane * (n_bands + 1)), jnp.int8)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=_pf._interpret(),
+    )(rhs_re, rhs_im, rh, rl, ih, il, tch, tcl, tsh, tsl)
+    return outs
 
-    Runs as a lax.map over k1 slabs: columns are independent, and the
-    banded product's full rhs band stack at inner*w ~ 8M columns would
-    otherwise materialize ~7 GB of bf16 bands (plus f64 temps — a
-    hardware-measured 36 GB peak). Sequential slabs bound the live set
-    while keeping ONE dispatched program.
 
-    ``dc``/``ds`` may be row-trimmed (see _outer_tables_inv): only the
-    leading k2 rows of the k-major output are computed. When
-    ``final_s``/``final_n`` are set the program also emits the
-    assembled autocorrelation ``concat([zr, -zi], 1)[:final_n,
-    :final_s]`` — the raw_autocorr_deep epilogue, fused here instead
-    of running as separate eager full-size passes."""
-    from .ozaki import complex_dft_matmul
+@functools.partial(
+    jax.jit, static_argnames=("inner", "outer", "w"),
+    donate_argnums=(0, 1, 2, 3))
+def _fwd_from_kernel(rh, rl, ih, il, inner: int, outer: int, w: int):
+    """Kernel layout (k1, (w, k2)) f32 pairs -> k-major (M, w) float64
+    spectra (the corner turn between the two deep transforms; the f32
+    halves transpose first so the physical relayout moves f32, the
+    emulated-f64 add fuses into the output write)."""
+    def conv(h, l):
+        h = jnp.moveaxis(h.reshape(inner, w, outer), 2, 0)
+        l = jnp.moveaxis(l.reshape(inner, w, outer), 2, 0)
+        h = h.reshape(inner * outer, w)
+        l = l.reshape(inner * outer, w)
+        return h.astype(jnp.float64) + l.astype(jnp.float64)
 
-    n_slab = max(1, inner // _K1_SLAB)
-    k1s = inner // n_slab
+    return conv(rh, rl), conv(ih, il)
 
-    def eng(a):
-        return a.reshape(n_slab, k1s, outer, w)
 
-    rh, rl, ih, il = eng(rh), eng(rl), eng(ih), eng(il)
-    twc = twc.reshape(n_slab, k1s, outer, 1)
-    tws = tws.reshape(n_slab, k1s, outer, 1)
+@functools.partial(
+    jax.jit, static_argnames=("inner", "outer", "w", "n_out", "s"),
+    donate_argnums=(0, 1, 2, 3))
+def _inv_from_kernel(rh, rl, ih, il, inner: int, outer: int, w: int,
+                     n_out: int, s: int):
+    """Kernel layout -> the assembled (n_out, s) autocorrelation:
+    lane-trims k2 >= ceil(n_out/inner) BEFORE the corner turn (half
+    the transpose traffic for the usual n_out = M/2), applies the
+    exact power-of-two 1/M, and packs [re, -im] (the two-for-one
+    real-series unpacking of the conjugation-trick inverse)."""
+    nr = -(-n_out // inner)
+    inv_m = 1.0 / (inner * outer)
 
-    def slab(args):
-        rh_, rl_, ih_, il_, tc, ts = args
-        r = rh_.astype(jnp.float64) + rl_.astype(jnp.float64)
-        i = ih_.astype(jnp.float64) + il_.astype(jnp.float64)
-        tr = r * tc - i * ts
-        ti = r * ts + i * tc
-        tr = jnp.moveaxis(tr, 1, 0).reshape(outer, k1s * w)
-        ti = jnp.moveaxis(ti, 1, 0).reshape(outer, k1s * w)
-        return complex_dft_matmul(dc, ds, tr, ti,
-                                  n_slices=n_slices, max_band=max_band)
+    def conv(h, l):
+        h = h.reshape(inner, w, outer)[:, :, :nr]
+        l = l.reshape(inner, w, outer)[:, :, :nr]
+        h = jnp.moveaxis(h, 2, 0).reshape(nr * inner, w)[:n_out]
+        l = jnp.moveaxis(l, 2, 0).reshape(nr * inner, w)[:n_out]
+        return (h.astype(jnp.float64) + l.astype(jnp.float64)) * inv_m
 
-    zr, zi = jax.lax.map(slab, (rh, rl, ih, il, twc, tws))
-    # (n_slab, nr, slab*w) -> rows k2, cols (k1, w) -> k-major rows
-    nr = dc.shape[0]
-    zr = jnp.moveaxis(zr, 0, 1).reshape(nr * inner, w)
-    zi = jnp.moveaxis(zi, 0, 1).reshape(nr * inner, w)
-    if final_s is None:
-        return zr, zi
     return (jnp.concatenate(
-        [zr[:final_n], -zi[:final_n]], axis=1)[:, :final_s],)
+        [conv(rh, rl), -conv(ih, il)], axis=1)[:, :s],)
 
 
 def _deep_fft_fwd_pair(pair, inner: int, outer: int, w: int,
                        n_out: int = None, s: int = None):
-    """Forward FFT via engine + outer level. ``pair`` is the complex
-    double-float (re_hi, re_lo, im_hi, im_lo), each (inner, outer*w)
-    float32 — DONATED to the engine, so callers must drop their f64
-    sources before calling (HBM peak discipline). float64 out.
+    """Forward FFT via engine + fused outer-level kernel. ``pair`` is
+    the complex double-float (re_hi, re_lo, im_hi, im_lo), each
+    (inner, w*outer) float32 with lanes (w, j2) — DONATED to the
+    engine, so callers must drop their f64 sources before calling
+    (HBM peak discipline). float64 out.
 
     With ``n_out``/``s`` set (the inverse-by-conjugation leg of the
-    autocorrelation), the outer stage is row-trimmed + 1/M-prescaled
-    and emits the assembled (n_out, s) result directly."""
+    autocorrelation), the epilogue lane-trims k2, folds the 1/M, and
+    emits the assembled (n_out, s) result directly."""
     # one profile for both levels: the engine reads it internally,
-    # the Ozaki outer DFT takes it as statics (same 7-bit band grid)
+    # the outer kernel takes it as statics (same 7-bit band grid)
     n_bands, max_group = _pf._profile(jnp.float64)
     pair = _pf.fft_banded_pair(pair, wt=_DEEP_WT)
     pair = _fence(*pair, tag="engine")
+    tables = _outer_kernel_tables(inner, outer, n_bands)
+    pair = _outer_level_pallas(*pair, *tables, inner=inner,
+                               outer=outer, w=w, n_bands=n_bands,
+                               max_group=max_group)
+    pair = _fence(*pair, tag="outer")
     if n_out is None:
-        t = _outer_tables(inner, outer)
-        twc, tws, dc, ds = t["twc"], t["tws"], t["dc"], t["ds"]
-        final = {}
-    else:
-        twc, tws, dc, ds = _outer_tables_inv(inner, outer, n_out)
-        final = {"final_s": s, "final_n": n_out}
-    return _twiddle_and_outer(*pair, twc, tws, dc, ds,
-                              inner, outer, w,
-                              n_slices=n_bands, max_band=max_group,
-                              **final)
+        return _fwd_from_kernel(*pair, inner=inner, outer=outer, w=w)
+    return _inv_from_kernel(*pair, inner=inner, outer=outer, w=w,
+                            n_out=n_out, s=s)
 
 
 # fence eager stages once the working set is big enough that letting
