@@ -65,6 +65,8 @@ def timeit_big(label, fn, n=2, gen=_gen_pair):
     return dt
 
 
+M, S = INNER * OUTER, 255  # chunk=85 x d=3 at the N=2^20 rung
+
 n_bands, max_group = PF._profile(jnp.float64)
 tables = DA._outer_kernel_tables(INNER, OUTER, n_bands)
 
@@ -85,3 +87,43 @@ timeit_big(
 # c. engine alone (donates its pair input)
 timeit_big("c. fft_banded_pair (engine)",
            lambda p: PF.fft_banded_pair(p, wt=DA._DEEP_WT))
+
+
+# d. _prepare_pair ((M, s) f64 -> engine-layout pair)
+# (sin-of-iota fill, not random.normal: the erf_inv chain's f32 temps
+# at (M, 255) OOM the chip on top of the stage's own working set)
+@jax.jit
+def _gen_x(seed):
+    r = jnp.arange(M, dtype=jnp.float64)[:, None]
+    c = jnp.arange(S, dtype=jnp.float64)[None, :]
+    return (jnp.sin(r * 1e-3 + c * (1.0 + seed * 1e-3)),)
+
+
+timeit_big(
+    "d. _prepare_pair",
+    lambda p: DA._prepare_pair(*p, inner=INNER, outer=OUTER, w=W, s=S),
+    gen=_gen_x,
+)
+
+
+# e. _unpack_to_pair (k-major f64 spectra -> engine-layout pair)
+@jax.jit
+def _gen_z(seed):
+    r = jnp.arange(M, dtype=jnp.float64)[:, None]
+    c = jnp.arange(W, dtype=jnp.float64)[None, :]
+    return (jnp.sin(r * 1e-3 + c * (1.0 + seed * 1e-3)),
+            jnp.cos(r * 2e-3 + c * (1.0 + seed * 1e-3)))
+
+
+timeit_big(
+    "e. _unpack_to_pair",
+    lambda p: DA._unpack_to_pair(*p, inner=INNER, outer=OUTER, w=W),
+    gen=_gen_z,
+)
+
+# f. _inv_from_kernel (kernel-layout pair -> assembled (n_out, s))
+timeit_big(
+    "f. _inv_from_kernel",
+    lambda p: DA._inv_from_kernel(*p, inner=INNER, outer=OUTER, w=W,
+                                  n_out=M // 2, s=S),
+)

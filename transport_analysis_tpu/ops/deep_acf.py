@@ -467,6 +467,13 @@ def _outer_level_pallas(rh, rl, ih, il, tch, tcl, tsh, tsl,
         out_shape=(jax.ShapeDtypeStruct((inner, w * outer), f32),) * 4,
         scratch_shapes=[
             pltpu.VMEM((rows, 2 * lane * (n_bands + 1)), jnp.int8)],
+        # in-place: each (r, l) data block is read only by its own grid
+        # step, so the outputs may overwrite the inputs — the jit-level
+        # donation alone cannot alias through the Mosaic custom call,
+        # and the 4 full-size f32 outputs would otherwise double the
+        # stage's transient HBM (hardware: 8 GB extra at the N=2^20
+        # rung)
+        input_output_aliases={2: 0, 3: 1, 4: 2, 5: 3},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024),
         interpret=_pf._interpret(),
