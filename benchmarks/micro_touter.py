@@ -19,6 +19,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.expanduser("~/.cache/transport_analysis_tpu_xla"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
 sys.path.insert(
     0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -78,10 +84,11 @@ timeit_big(
         n_bands=n_bands, max_group=max_group),
 )
 
-# b. the corner turn (kernel layout -> k-major f64)
+# b. the corner turn (kernel layout -> k-major f32 pairs)
 timeit_big(
-    "b. _fwd_from_kernel (corner turn)",
-    lambda p: DA._fwd_from_kernel(*p, inner=INNER, outer=OUTER, w=W),
+    "b. _fwd_from_kernel_pair (corner turn)",
+    lambda p: DA._fwd_from_kernel_pair(
+        *p, inner=INNER, outer=OUTER, w=W),
 )
 
 # c. engine alone (donates its pair input)
@@ -106,13 +113,15 @@ timeit_big(
 )
 
 
-# e. _unpack_to_pair (k-major f64 spectra -> engine-layout pair)
+# e. _unpack_to_pair (k-major f32-pair spectra -> engine-layout pair)
 @jax.jit
 def _gen_z(seed):
-    r = jnp.arange(M, dtype=jnp.float64)[:, None]
-    c = jnp.arange(W, dtype=jnp.float64)[None, :]
+    r = jnp.arange(M, dtype=jnp.float32)[:, None]
+    c = jnp.arange(W, dtype=jnp.float32)[None, :]
     return (jnp.sin(r * 1e-3 + c * (1.0 + seed * 1e-3)),
-            jnp.cos(r * 2e-3 + c * (1.0 + seed * 1e-3)))
+            jnp.sin(r * 1.1e-3 + c) * 1e-9,
+            jnp.cos(r * 2e-3 + c * (1.0 + seed * 1e-3)),
+            jnp.cos(r * 2.1e-3 + c) * 1e-9)
 
 
 timeit_big(

@@ -127,9 +127,17 @@ class TestUnpackPowerSlabs:
         inner, outer = m // 4, 4
         zr = rng.standard_normal((m, w))
         zi = rng.standard_normal((m, w))
+
+        def pairs(z):
+            from transport_analysis_tpu.ops import pallas_fft as PF
+
+            return PF._split_pair(jnp.asarray(z))
+
+        zrh, zrl = pairs(zr)
+        zih, zil = pairs(zi)
         # straight-line reference (slab gate off: m <= _UNPACK_SLAB)
         want = deep_acf._unpack_to_pair(
-            jnp.asarray(zr), jnp.asarray(zi), inner, outer, w)
+            zrh, zrl, zih, zil, inner, outer, w)
         want = tuple(np.asarray(a) for a in want)
         monkeypatch.setattr(deep_acf, "_UNPACK_SLAB", slab)
         # _UNPACK_SLAB is the row budget AT w=128; at the test's w=8
@@ -137,10 +145,11 @@ class TestUnpackPowerSlabs:
         # keep ll < m so the lax.map path traces. Pad a zero column so
         # the jit cache (keyed on shapes/statics) can't reuse the
         # unslabbed trace; columns are independent in the unpack
-        zr_p = np.concatenate([zr, np.zeros((m, 1))], axis=1)
-        zi_p = np.concatenate([zi, np.zeros((m, 1))], axis=1)
+        pad = np.zeros((m, 1))
+        zrh_p, zrl_p = pairs(np.concatenate([zr, pad], axis=1))
+        zih_p, zil_p = pairs(np.concatenate([zi, pad], axis=1))
         got = deep_acf._unpack_to_pair(
-            jnp.asarray(zr_p), jnp.asarray(zi_p), inner, outer, w + 1)
+            zrh_p, zrl_p, zih_p, zil_p, inner, outer, w + 1)
         # undo the (w, j2)-lane engine layout, drop the pad column
         got = tuple(
             np.asarray(a).reshape(inner, w + 1, outer)[:, :w, :]
@@ -227,12 +236,18 @@ class TestUnpackToPair:
         w = 4
         inner, outer = m // 2, 2
         rng = np.random.default_rng(11)
-        zr = rng.normal(0, 3, (m, w))
-        zi = rng.normal(0, 3, (m, w))
+        from transport_analysis_tpu.ops import pallas_fft as PF
+
+        zrh, zrl = PF._split_pair(jnp.asarray(rng.normal(0, 3, (m, w))))
+        zih, zil = PF._split_pair(jnp.asarray(rng.normal(0, 3, (m, w))))
+        # reference algebra runs on exactly the f64 the stage
+        # reconstructs in-slab (hi + lo), so the comparison is exact
+        zr = np.asarray(zrh, np.float64) + np.asarray(zrl, np.float64)
+        zi = np.asarray(zih, np.float64) + np.asarray(zil, np.float64)
         if slabbed:
             assert m % D._UNPACK_SLAB == 0  # exercises the lax.map path
         rh, rl, ih, il = D._unpack_to_pair(
-            jnp.asarray(zr), jnp.asarray(zi), inner, outer, w
+            zrh, zrl, zih, zil, inner, outer, w
         )
 
         def unturn(a):

@@ -227,28 +227,31 @@ _UNPACK_SLAB = 131072
 
 @functools.partial(
     jax.jit, static_argnames=("inner", "outer", "w"),
-    donate_argnums=(0, 1),
+    donate_argnums=(0, 1, 2, 3),
 )
-def _unpack_to_pair(zr, zi, inner: int, outer: int, w: int):
+def _unpack_to_pair(zrh, zrl, zih, zil, inner: int, outer: int,
+                    w: int):
     """Fused Hermitian unpack + power spectra + conjugate pair split,
-    (M, w) f64 spectra → engine-layout (re_hi, re_lo, im_hi, im_lo)
-    of (p1 − i·p2), row-slabbed.
+    k-major (M, w) f32-PAIR spectra → engine-layout (re_hi, re_lo,
+    im_hi, im_lo) of (p1 − i·p2), row-slabbed.
 
     Replaces the _unpack_power → _power_to_pair two-stage chain on
     large transforms: that chain's peak stage held TWO full f64
     spectra pairs (inputs + stacked outputs, 32·M·w bytes ≈ 8.6 GB at
     M=2^21, w=128) and its successor another 8.6 GB — the margin that
     made the N=2^20 north-star rung OOM nondeterministically. Fusing
-    emits the four f32 pair arrays directly (16·M·w bytes of output
-    against 16·M·w of input), never materializing full-M f64 power
-    spectra; per-slab algebra is identical (f64 in-slab, split at the
-    end), so accuracy is unchanged.
+    emits the four f32 pair arrays directly, never materializing
+    full-M f64 power spectra. The inputs arrive as f32 pairs straight
+    from the pair corner turn (_fwd_from_kernel_pair); each slab
+    reconstructs f64 in VMEM-sized pieces (hi + lo, ~1e-16 relative —
+    far inside the 1e-11 contract), runs the identical f64 algebra,
+    and splits back at the end.
 
     Output row k needs input rows k and (M−k) mod M: each slab reads
     its own contiguous slice plus the mirrored slice flipped, with the
     single wrap row prepended (same access pattern as _unpack_power's
     row-slab path)."""
-    m, _ = zr.shape
+    m, _ = zrh.shape
     # slab ROWS scale inversely with width: the budget is ELEMENTS
     # (_UNPACK_SLAB rows at the w=128 reference width — ~6 live slab
     # temps of 128 MB f64 each). A fixed row count OOMed the
@@ -258,10 +261,14 @@ def _unpack_to_pair(zr, zi, inner: int, outer: int, w: int):
         return a.reshape(rows // outer, outer, w).swapaxes(
             1, 2).reshape(rows // outer, w * outer)
 
+    f64 = jnp.float64
+
     ll = max(1, _UNPACK_SLAB * 128 // max(w, 1))
     ll = 1 << (ll.bit_length() - 1)  # pow2 floor divides pow2 m
     ll = max(ll, outer)
     if m % ll or m <= ll:
+        zr = zrh.astype(f64) + zrl.astype(f64)
+        zi = zih.astype(f64) + zil.astype(f64)
         r_rev = jnp.roll(jnp.flip(zr, axis=0), 1, axis=0)
         i_rev = jnp.roll(jnp.flip(zi, axis=0), 1, axis=0)
         f1r = 0.5 * (zr + r_rev)
@@ -278,16 +285,26 @@ def _unpack_to_pair(zr, zi, inner: int, outer: int, w: int):
     def slab(a0):
         a = a0 * ll
 
-        def rev(z):
-            tail = jax.lax.dynamic_slice(z, (m - a - ll, 0), (ll, w))
-            head = jax.lax.dynamic_slice(z, ((m - a) % m, 0), (1, w))
-            return jnp.concatenate(
-                [head, jnp.flip(tail, axis=0)[: ll - 1]], axis=0)
+        def direct(h, l):
+            hs = jax.lax.dynamic_slice(h, (a, 0), (ll, w))
+            ls = jax.lax.dynamic_slice(l, (a, 0), (ll, w))
+            return hs.astype(f64) + ls.astype(f64)
 
-        zs = jax.lax.dynamic_slice(zr, (a, 0), (ll, w))
-        is_ = jax.lax.dynamic_slice(zi, (a, 0), (ll, w))
-        r_rev = rev(zr)
-        i_rev = rev(zi)
+        def rev(h, l):
+            def cut(z):
+                tail = jax.lax.dynamic_slice(
+                    z, (m - a - ll, 0), (ll, w))
+                head = jax.lax.dynamic_slice(
+                    z, ((m - a) % m, 0), (1, w))
+                return jnp.concatenate(
+                    [head, jnp.flip(tail, axis=0)[: ll - 1]], axis=0)
+
+            return cut(h).astype(f64) + cut(l).astype(f64)
+
+        zs = direct(zrh, zrl)
+        is_ = direct(zih, zil)
+        r_rev = rev(zrh, zrl)
+        i_rev = rev(zih, zil)
         f1r = 0.5 * (zs + r_rev)
         f1i = 0.5 * (is_ - i_rev)
         f2r = 0.5 * (is_ + i_rev)
@@ -500,6 +517,24 @@ def _fwd_from_kernel(rh, rl, ih, il, inner: int, outer: int, w: int):
 
 
 @functools.partial(
+    jax.jit, static_argnames=("inner", "outer", "w"),
+    donate_argnums=(0, 1, 2, 3))
+def _fwd_from_kernel_pair(rh, rl, ih, il, inner: int, outer: int,
+                          w: int):
+    """Kernel layout (k1, (w, k2)) f32 pairs -> k-major (M, w) f32
+    pairs. The autocorrelation's internal corner turn: keeping the
+    spectra as pairs (the f64 add deferred into the unpack slabs)
+    halves this stage's write traffic AND the live inter-stage HBM
+    (4 x f32 instead of 2 x f64 would be equal — but the f64 path
+    also reads the pairs; net 13 GB -> 8.6 GB at the N=2^20 rung)."""
+    def mv(a):
+        a = jnp.moveaxis(a.reshape(inner, w, outer), 2, 0)
+        return a.reshape(inner * outer, w)
+
+    return mv(rh), mv(rl), mv(ih), mv(il)
+
+
+@functools.partial(
     jax.jit, static_argnames=("inner", "outer", "w", "n_out", "s"),
     donate_argnums=(0, 1, 2, 3))
 def _inv_from_kernel(rh, rl, ih, il, inner: int, outer: int, w: int,
@@ -524,7 +559,8 @@ def _inv_from_kernel(rh, rl, ih, il, inner: int, outer: int, w: int,
 
 
 def _deep_fft_fwd_pair(pair, inner: int, outer: int, w: int,
-                       n_out: int = None, s: int = None):
+                       n_out: int = None, s: int = None,
+                       as_pair: bool = False):
     """Forward FFT via engine + fused outer-level kernel. ``pair`` is
     the complex double-float (re_hi, re_lo, im_hi, im_lo), each
     (inner, w*outer) float32 with lanes (w, j2) — DONATED to the
@@ -544,10 +580,13 @@ def _deep_fft_fwd_pair(pair, inner: int, outer: int, w: int,
                                outer=outer, w=w, n_bands=n_bands,
                                max_group=max_group)
     pair = _fence(*pair, tag="outer")
-    if n_out is None:
-        return _fwd_from_kernel(*pair, inner=inner, outer=outer, w=w)
-    return _inv_from_kernel(*pair, inner=inner, outer=outer, w=w,
-                            n_out=n_out, s=s)
+    if n_out is not None:
+        return _inv_from_kernel(*pair, inner=inner, outer=outer, w=w,
+                                n_out=n_out, s=s)
+    if as_pair:
+        return _fwd_from_kernel_pair(*pair, inner=inner, outer=outer,
+                                     w=w)
+    return _fwd_from_kernel(*pair, inner=inner, outer=outer, w=w)
 
 
 # fence eager stages once the working set is big enough that letting
@@ -616,15 +655,17 @@ def raw_autocorr_deep(x, n_out: int):
     pair = _fence(*_prepare_pair(x, inner, outer, w, s), tag="prepare")
     del x  # donated to _prepare_pair
 
-    zr, zi = _fence(*_deep_fft_fwd_pair(pair, inner, outer, w),
-                    tag="fwd")
+    zp = _fence(
+        *_deep_fft_fwd_pair(pair, inner, outer, w, as_pair=True),
+        tag="fwd")
     del pair
     # fused unpack + power + conjugate pair split: the inverse of
     # (p1 + i p2) runs through the forward machinery on (p1 - i p2);
-    # the full-M f64 power spectra are never materialized
-    pair = _fence(*_unpack_to_pair(zr, zi, inner, outer, w),
+    # neither full-M f64 spectra nor power spectra are materialized
+    # (the corner turn stays in f32 pairs; f64 only inside the slabs)
+    pair = _fence(*_unpack_to_pair(*zp, inner, outer, w),
                   tag="unpack_to_pair")
-    del zr, zi
+    del zp
     # inverse-by-conjugation leg: row-trimmed outer DFT with the 1/M
     # scale folded into the (tiny) DFT matrices, epilogue fused in
     (out,) = _fence(
