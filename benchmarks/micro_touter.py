@@ -136,3 +136,9 @@ timeit_big(
     lambda p: DA._inv_from_kernel(*p, inner=INNER, outer=OUTER, w=W,
                                   n_out=M // 2, s=S),
 )
+
+# g. engine tile-width sweep: wt=128 means 16384 + 4096 grid steps of
+# (128|512, 128) blocks at this shape — step overhead suspect
+for wt in (256, 512):
+    timeit_big(f"g. fft_banded_pair wt={wt}",
+               lambda p, wt=wt: PF.fft_banded_pair(p, wt=wt))

@@ -102,6 +102,29 @@ class TestCompositionAlgebra:
         ref = acf.acf_fft_numpy(x[:, :, None]) * (n - np.arange(n))[:, None]
         assert np.max(np.abs(out - ref)) / np.abs(ref).max() < 1e-11
 
+    @pytest.mark.parametrize("slab", [0, 1024])
+    def test_unpadded_operand_and_fused_component_sum(
+            self, fake_engine, monkeypatch, slab):
+        # production dispatch form: UNPADDED (N, S) operand with an
+        # explicit transform length m (rows pad inside the prepare
+        # stage — slab=1024 forces the lax.map slab path with its
+        # all-padding zero slabs) and the d-component sum fused into
+        # the epilogue — must match the pre-padded separate-sum form
+        rng = np.random.default_rng(31)
+        n, p, d = 1 << 15, 4, 3
+        m = 2 * acf.next_pow_2(n)
+        x = rng.standard_normal((n, p * d))
+        xp = jnp.pad(jnp.asarray(x), ((0, m - n), (0, 0)))
+        want = np.asarray(deep_acf.raw_autocorr_deep(xp, n))
+        want = want.reshape(n, p, d).sum(axis=-1)
+        if slab:
+            monkeypatch.setattr(deep_acf, "_UNPACK_SLAB", slab)
+        got = np.asarray(deep_acf.raw_autocorr_deep(
+            jnp.asarray(x), n, m=m, sum_d=d))
+        assert got.shape == (n, p)
+        np.testing.assert_allclose(
+            got, want, rtol=0, atol=1e-13 * np.abs(want).max())
+
     def test_outer_4(self, fake_engine):
         # exercise a >2 outer factor and the k-major row interleave
         rng = np.random.default_rng(11)
@@ -170,8 +193,8 @@ class TestDispatchWiring:
             calls["checked"] = (m, s)
             return True
 
-        def spy_deep(x, n_out):
-            calls["ran"] = (x.shape, n_out)
+        def spy_deep(x, n_out, m=None, sum_d=0):
+            calls["ran"] = (x.shape, n_out, m)
             return jnp.zeros((n_out, x.shape[1]), x.dtype)
 
         monkeypatch.setattr(acf, "_has_native_fft", lambda: False)
@@ -182,15 +205,18 @@ class TestDispatchWiring:
         x = jnp.zeros((1 << 16, 4), jnp.float64)
         out = acf.raw_autocorr(x)
         assert calls["checked"] == (1 << 17, 4)
-        assert calls["ran"] == ((1 << 17, 4), 1 << 16)
+        # the operand goes in UNPADDED with the transform length m
+        assert calls["ran"] == ((1 << 16, 4), 1 << 16, 1 << 17)
         assert out.shape == (1 << 16, 4)
 
     def test_dispatch_sumlast_calls_deep(self, monkeypatch):
         calls = {}
 
-        def spy_deep(x, n_out):
-            calls["ran"] = (x.shape, n_out)
-            return jnp.ones((n_out, x.shape[1]), x.dtype)
+        def spy_deep(x, n_out, m=None, sum_d=0):
+            calls["ran"] = (x.shape, n_out, m, sum_d)
+            return jnp.full(
+                (n_out, x.shape[1] // max(sum_d, 1)), float(sum_d),
+                x.dtype)
 
         monkeypatch.setattr(acf, "_has_native_fft", lambda: False)
         monkeypatch.setattr(deep_acf, "supported", lambda m, s: True)
@@ -199,8 +225,9 @@ class TestDispatchWiring:
 
         x = jnp.zeros((1 << 16, 2, 3), jnp.float64)
         out = acf.raw_autocorr_sumlast(x)
-        assert calls["ran"] == ((1 << 17, 6), 1 << 16)
-        # component sum of ones = d
+        # unpadded operand, transform length m, fused component sum
+        assert calls["ran"] == ((1 << 16, 6), 1 << 16, 1 << 17, 3)
+        assert out.shape == (1 << 16, 2)
         assert np.allclose(np.asarray(out), 3.0)
 
     def test_no_deep_under_outer_jit(self, monkeypatch):

@@ -166,16 +166,17 @@ def raw_autocorr(x: jax.Array) -> jax.Array:
             x_pad = jnp.pad(x, ((0, M - N), (0, 0)))
             return pallas_fft.raw_autocorr_pallas(x_pad, N)
         if deep_acf.supported(M, x.shape[1]):
-            # padded operand handed over WITHOUT a local reference
+            # UNPADDED operand handed over WITHOUT a local reference
             # (box.pop() leaves no binding in this frame): the deep
-            # chain runs eagerly over multi-GB stages, and any f64
-            # source a caller frame keeps alive adds straight onto
-            # the chain's HBM peak — holding x_pad here (16·N·S bytes)
-            # was the difference between chunk=64 OOM and chunk=85
-            # fitting at N=2^20 (BENCH_NOTES round 4)
-            box = [jnp.pad(x, ((0, M - N), (0, 0)))]
+            # chain pads rows inside its slabbed prepare stage — no
+            # (M, S) f64 pad pass — and any f64 source a caller frame
+            # keeps alive adds straight onto the chain's HBM peak
+            # (measured: a held padded source was the difference
+            # between chunk=64 OOM and chunk=85 fitting at N=2^20,
+            # BENCH_NOTES round 4)
+            box = [x]
             del x
-            return deep_acf.raw_autocorr_deep(box.pop(), N)
+            return deep_acf.raw_autocorr_deep(box.pop(), N, m=M)
     from .fft import raw_autocorr_matmul
 
     x_pad = jnp.pad(x, ((0, M - N), (0, 0)))
@@ -227,11 +228,14 @@ def raw_autocorr_sumlast(x: jax.Array) -> jax.Array:
 
         if deep_acf.supported(M, S) and not pallas_fft.supported(M, S):
             # consume discipline: see raw_autocorr — no frame-local
-            # reference to the padded operand survives the handoff
-            box = [jnp.pad(x.reshape(N, S), ((0, M - N), (0, 0)))]
+            # reference survives the handoff. The operand goes in
+            # UNPADDED (rows pad inside the slabbed prepare stage)
+            # and the per-particle component sum rides the fused
+            # epilogue — both full-array f64 passes disappear
+            box = [x.reshape(N, S)]
             del x
-            raw = deep_acf.raw_autocorr_deep(box.pop(), N)
-            return jnp.sum(raw.reshape(N, P, d), axis=-1)
+            return deep_acf.raw_autocorr_deep(
+                box.pop(), N, m=M, sum_d=d)
         if pallas_fft.supported(M, S):
             # Post-process in the double-float pair domain: emulated-
             # f64 reshapes/copies cost ~1 ms per 100 MB here (trace-

@@ -172,9 +172,13 @@ def _outer_kernel_tables(inner: int, outer: int, n_bands: int):
     donate_argnums=(0,),
 )
 def _prepare_pair(x, inner: int, outer: int, w: int, s: int):
-    """(M, s) f64 → engine-layout f32 pairs, lanes (w, j2): column
-    w_c*outer + j2 carries series w_c's decimation residue j2, so the
-    outer kernel's 128-lane tiles contract whole j2 groups in place.
+    """(n_rows ≤ M, s) f64 → engine-layout f32 pairs, lanes (w, j2):
+    column w_c*outer + j2 carries series w_c's decimation residue j2,
+    so the outer kernel's 128-lane tiles contract whole j2 groups in
+    place. Rows beyond ``x`` are the transform's zero padding and are
+    synthesized here — callers hand the UNPADDED series in, which
+    skips a full (M, s) f64 pad pass (~6.4 GB of traffic at the
+    N=2^20 rung) and halves the f64 source held across this stage.
 
     Large transforms run as a lax.map over row slabs: XLA does not
     reliably fuse the pad → double-float split → column slices, and
@@ -182,10 +186,11 @@ def _prepare_pair(x, inner: int, outer: int, w: int, s: int):
     bytes on top of input + outputs) made this stage's peak ~13 GB at
     M=2^21 — the nondeterministic OOM at the N=2^20 north-star rung.
     Slabs bound the intermediates (the (outer, w) corner turn happens
-    per slab); input + stacked outputs ≈ 8.6 GB. Small transforms
-    keep the straight-line single program (donated input, fused
-    chain)."""
-    m = x.shape[0]
+    per slab); all-padding slabs emit constants without touching the
+    input. Small transforms keep the straight-line single program
+    (donated input, fused chain)."""
+    m = inner * outer
+    n_rows = x.shape[0]
 
     def turn(a, rows):
         # rows consecutive j = j1*outer + j2 -> lanes (w, j2)
@@ -196,7 +201,7 @@ def _prepare_pair(x, inner: int, outer: int, w: int, s: int):
     ll = 1 << (ll.bit_length() - 1)
     ll = max(ll, outer)
     if m % ll or m <= ll:
-        x = jnp.pad(x, ((0, 0), (0, 2 * w - s)))
+        x = jnp.pad(x, ((0, m - n_rows), (0, 2 * w - s)))
         hi, lo = _pf._split_pair(x)
         return tuple(
             turn(src[:, cols], m).reshape(inner, w * outer)
@@ -206,13 +211,26 @@ def _prepare_pair(x, inner: int, outer: int, w: int, s: int):
             )
         )
 
+    # data slabs cover the real rows (rounded up to whole slabs);
+    # the remaining rows are the zero padding of the transform
+    nz = -(-n_rows // ll)
+    if n_rows % ll:
+        x = jnp.pad(x, ((0, nz * ll - n_rows), (0, 0)))
+
     def slab(a0):
-        xs = jax.lax.dynamic_slice(x, (a0 * ll, 0), (ll, s))
-        xs = jnp.pad(xs, ((0, 0), (0, 2 * w - s)))
-        hi, lo = _pf._split_pair(xs)
-        return tuple(
-            turn(a, ll)
-            for a in (hi[:, :w], lo[:, :w], hi[:, w:], lo[:, w:]))
+        def data(a0):
+            xs = jax.lax.dynamic_slice(x, (a0 * ll, 0), (ll, s))
+            xs = jnp.pad(xs, ((0, 0), (0, 2 * w - s)))
+            hi, lo = _pf._split_pair(xs)
+            return tuple(
+                turn(a, ll)
+                for a in (hi[:, :w], lo[:, :w], hi[:, w:], lo[:, w:]))
+
+        def zero(a0):
+            z = jnp.zeros((ll // outer, w * outer), jnp.float32)
+            return (z, z, z, z)
+
+        return jax.lax.cond(a0 < nz, data, zero, a0)
 
     parts = jax.lax.map(slab, jnp.arange(m // ll))
     return tuple(a.reshape(inner, w * outer) for a in parts)
@@ -535,15 +553,23 @@ def _fwd_from_kernel_pair(rh, rl, ih, il, inner: int, outer: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("inner", "outer", "w", "n_out", "s"),
+    jax.jit,
+    static_argnames=("inner", "outer", "w", "n_out", "s", "sum_d"),
     donate_argnums=(0, 1, 2, 3))
 def _inv_from_kernel(rh, rl, ih, il, inner: int, outer: int, w: int,
-                     n_out: int, s: int):
+                     n_out: int, s: int, sum_d: int = 0):
     """Kernel layout -> the assembled (n_out, s) autocorrelation:
     lane-trims k2 >= ceil(n_out/inner) BEFORE the corner turn (half
     the transpose traffic for the usual n_out = M/2), applies the
     exact power-of-two 1/M, and packs [re, -im] (the two-for-one
-    real-series unpacking of the conjugation-trick inverse)."""
+    real-series unpacking of the conjugation-trick inverse).
+
+    ``sum_d`` > 0 additionally sums groups of ``sum_d`` adjacent
+    series columns (the per-particle component sum of the (N, P, d)
+    analyses) INSIDE this fused epilogue — emitting (n_out, s/sum_d)
+    directly instead of materializing the (n_out, s) f64 array for a
+    separate reduce pass (same f64 summation order as
+    jnp.sum(out.reshape(n_out, -1, sum_d), axis=-1))."""
     nr = -(-n_out // inner)
     inv_m = 1.0 / (inner * outer)
 
@@ -554,13 +580,15 @@ def _inv_from_kernel(rh, rl, ih, il, inner: int, outer: int, w: int,
         l = jnp.moveaxis(l, 2, 0).reshape(nr * inner, w)[:n_out]
         return (h.astype(jnp.float64) + l.astype(jnp.float64)) * inv_m
 
-    return (jnp.concatenate(
-        [conv(rh, rl), -conv(ih, il)], axis=1)[:, :s],)
+    out = jnp.concatenate([conv(rh, rl), -conv(ih, il)], axis=1)[:, :s]
+    if sum_d:
+        out = jnp.sum(out.reshape(n_out, s // sum_d, sum_d), axis=-1)
+    return (out,)
 
 
 def _deep_fft_fwd_pair(pair, inner: int, outer: int, w: int,
                        n_out: int = None, s: int = None,
-                       as_pair: bool = False):
+                       as_pair: bool = False, sum_d: int = 0):
     """Forward FFT via engine + fused outer-level kernel. ``pair`` is
     the complex double-float (re_hi, re_lo, im_hi, im_lo), each
     (inner, w*outer) float32 with lanes (w, j2) — DONATED to the
@@ -582,7 +610,7 @@ def _deep_fft_fwd_pair(pair, inner: int, outer: int, w: int,
     pair = _fence(*pair, tag="outer")
     if n_out is not None:
         return _inv_from_kernel(*pair, inner=inner, outer=outer, w=w,
-                                n_out=n_out, s=s)
+                                n_out=n_out, s=s, sum_d=sum_d)
     if as_pair:
         return _fwd_from_kernel_pair(*pair, inner=inner, outer=outer,
                                      w=w)
@@ -628,10 +656,17 @@ def _fence(*arrays, tag: str = ""):
     return arrays
 
 
-def raw_autocorr_deep(x, n_out: int):
+def raw_autocorr_deep(x, n_out: int, m: int = None,
+                      sum_d: int = 0):
     """Raw linear autocorrelation per column for engine-ineligible
-    lengths. Contract identical to pallas_fft.raw_autocorr_pallas:
-    ``x`` (M, S) float64 zero-padded to M >= 2*series_length.
+    lengths. Result contract identical to
+    pallas_fft.raw_autocorr_pallas; ``x`` is (n_rows, S) float64 with
+    the transform length ``m`` >= 2*series_length (default: n_rows,
+    i.e. a pre-padded operand). Handing the UNPADDED series with an
+    explicit ``m`` skips a full (M, S) f64 pad pass and halves the
+    f64 held across the first stage (production dispatch does this).
+    ``sum_d`` folds the component sum into the fused epilogue,
+    returning (n_out, S // sum_d).
 
     The stages run EAGERLY (module docstring) and, at large shapes,
     fence between stages: async dispatch would otherwise enqueue the
@@ -641,7 +676,9 @@ def raw_autocorr_deep(x, n_out: int):
     the engine runs (the engine donates its pair inputs); pass ``x``
     as a temporary (no caller-held reference) so the rebinds here
     actually release HBM."""
-    m, s = x.shape
+    n_rows, s = x.shape
+    if m is None:
+        m = n_rows
     inner, outer = _split_m(m)
 
     if _HBM_DEBUG:
@@ -669,7 +706,8 @@ def raw_autocorr_deep(x, n_out: int):
     # inverse-by-conjugation leg: row-trimmed outer DFT with the 1/M
     # scale folded into the (tiny) DFT matrices, epilogue fused in
     (out,) = _fence(
-        *_deep_fft_fwd_pair(pair, inner, outer, w, n_out=n_out, s=s),
+        *_deep_fft_fwd_pair(pair, inner, outer, w, n_out=n_out, s=s,
+                            sum_d=sum_d),
         tag="inv")
     del pair
     if _HBM_DEBUG:
