@@ -139,6 +139,84 @@ timeit_big(
 
 # g. engine tile-width sweep: wt=128 means 16384 + 4096 grid steps of
 # (128|512, 128) blocks at this shape — step overhead suspect
-for wt in (256, 512):
+# (measured: 212/221 ms at wt=256/512 vs 218 at 128 — NEGATIVE, the
+# engine is in-kernel compute-bound)
+for wt in ():
     timeit_big(f"g. fft_banded_pair wt={wt}",
                lambda p, wt=wt: PF.fft_banded_pair(p, wt=wt))
+
+# h. engine internals at the deep shape: the two banded levels and
+# the two full-array scale reduces between them
+N2 = INNER // 128
+n_bands_e, max_group_e = PF._profile(jnp.float64)
+consts_e = PF._device_constants(N2, 1, n_bands_e)
+
+
+@jax.jit
+def _gen_l1(seed):
+    k = jax.random.PRNGKey(seed)
+    return tuple(
+        jax.random.normal(
+            jax.random.fold_in(k, i), (128, N2 * B), jnp.float32)
+        for i in range(4))
+
+
+import functools
+
+_nw = B // DA._DEEP_WT
+
+
+@jax.jit
+def _scale_of(p0, p2):
+    return PF._pow2_ceil_f32(jnp.maximum(
+        jnp.max(jnp.abs(p0), axis=0, keepdims=True),
+        jnp.max(jnp.abs(p2), axis=0, keepdims=True)))
+
+
+timeit_big(
+    "h. scale reduce (s_in)",
+    lambda p: _scale_of(p[0], p[2]), gen=_gen_l1)
+
+
+@functools.partial(jax.jit, donate_argnums=(2, 3, 4, 5))
+def _l1(lre, lim, rh, rl, ih, il, s):
+    return PF._banded_level(
+        lre, lim, (rh, rl, ih, il), s, 128,
+        True, _nw, transposed_out=True, n_bands=n_bands_e,
+        max_group=max_group_e, wt=DA._DEEP_WT)[0]
+
+
+@jax.jit
+def _gen_l1s(seed):
+    p = _gen_l1(seed)
+    return p + (_scale_of(p[0], p[2]),)
+
+
+timeit_big(
+    "h. level 1 (per-step lhs, transposed out)",
+    lambda p: _l1(consts_e["l1_re"], consts_e["l1_im"], *p),
+    gen=_gen_l1s)
+
+
+@functools.partial(jax.jit, donate_argnums=(2, 3, 4, 5))
+def _l2(lre, lim, rh, rl, ih, il, s):
+    return PF._banded_level(
+        lre, lim, (rh, rl, ih, il), s, N2, False, _nw,
+        n_bands=n_bands_e, max_group=max_group_e,
+        wt=DA._DEEP_WT)[0]
+
+
+@jax.jit
+def _gen_l2s(seed):
+    k = jax.random.PRNGKey(seed)
+    p = tuple(
+        jax.random.normal(
+            jax.random.fold_in(k, i), (N2, 128 * B), jnp.float32)
+        for i in range(4))
+    return p + (_scale_of(p[0], p[2]),)
+
+
+timeit_big(
+    "h. level 2 (shared lhs)",
+    lambda p: _l2(consts_e["l2_re"], consts_e["l2_im"], *p),
+    gen=_gen_l2s)

@@ -618,9 +618,20 @@ def _deep_fft_fwd_pair(pair, inner: int, outer: int, w: int,
 
 
 # fence eager stages once the working set is big enough that letting
-# the host race ahead would hold several stages' buffers live at once
-# (hardware-measured: N=2^17 x 768 series OOMed a 16 GB chip unfenced)
-_FENCE_BYTES = 256 * 1024 * 1024
+# the host race ahead would hold several stages' buffers live at once.
+# Each fence costs a host<->device round trip (~70 ms on the tunneled
+# runtime — removing them cut the N=2^20 chunk wall 2.74 s -> 2.24 s),
+# so the default only fences stages ABOVE the pad-filled production
+# stage size (auto_atom_chunk keeps M·w at 2^28 packed elements =
+# 4.3 GB per pair stage, hardware-validated unfenced at the N=2^17
+# wide-column and N=2^20 rungs; the historical N=2^17 x 768-series
+# OOM predates the pair corner turn / in-place outer kernel / fused
+# pad+sum peak cuts). Override via TRANSPORT_ANALYSIS_TPU_DEEP_FENCE_MB
+# for backends with less headroom.
+import os as _os_f
+
+_FENCE_BYTES = int(float(_os_f.environ.get(
+    "TRANSPORT_ANALYSIS_TPU_DEEP_FENCE_MB", 6144)) * 1024 * 1024)
 
 # TRANSPORT_ANALYSIS_TPU_DEEP_HBM_DEBUG=1 prints device memory stats at
 # every fence point (calibrates chunk-size memory models; dev-only)
