@@ -67,14 +67,49 @@ def make_data(n_frames, n_atoms, dtype):
     return vel, pos, masses, times
 
 
-def _analysis_step(vel, pos, masses, times):
-    vacf_bp = ops.acf_fft(vel)
+def _engine_args():
+    """Banded-engine constants for the bench shape, or None off-TPU.
+
+    The scanned pipeline below is ONE jit; the acf dispatch correctly
+    refuses to run the eager Pallas engine under an active trace (its
+    cached constants would embed as program literals), so the bench
+    threads the constants through the jit as ARGUMENTS and calls the
+    traceable engine entry points directly (ops.acf
+    raw_autocorr_sumlast_engine) — same kernels, one program."""
+    from transport_analysis_tpu.ops import pallas_fft as PF
+    from transport_analysis_tpu.ops import acf as ACF
+
+    m = 2 * ACF.next_pow_2(N_FRAMES)
+    if DTYPE != np.dtype("float64") or not PF.supported(
+            m, N_ATOMS * 3):
+        return None
+    consts, n_bands, max_group = ACF.engine_consts_for(N_FRAMES)
+    return consts, n_bands, max_group
+
+
+def _analysis_step(vel, pos, masses, times, engine=None):
+    from transport_analysis_tpu.ops import acf as ACF
+    from transport_analysis_tpu.ops import einstein as EIN
+
+    n = vel.shape[0]
+    if engine is not None:
+        consts, n_bands, max_group = engine
+        norm = (n - jnp.arange(n, dtype=vel.dtype))[:, None]
+        vacf_bp = ACF.raw_autocorr_sumlast_engine(
+            vel, consts, n_bands, max_group) / norm
+        accum = masses[None, :, None] * vel * pos
+        accum = EIN._center(accum)
+        corr = ACF.raw_autocorr_sumlast_engine(
+            accum, consts, n_bands, max_group)
+        visc_bp = ops.einstein_difference_fft(accum, "mean",
+                                              corr=corr)
+    else:
+        vacf_bp = ops.acf_fft(vel)
+        accum = masses[None, :, None] * vel * pos
+        visc_bp = ops.einstein_difference_fft(accum, "mean")
     vacf_ts = vacf_bp.mean(axis=1)
     diffusivity = ops.trapezoid(vacf_ts, times) / 3.0
-    accum = masses[None, :, None] * vel * pos
-    visc_bp = ops.einstein_difference_fft(accum, "mean")
     visc_ts = visc_bp.mean(axis=1) / (2.0 * KB * VOL * TEMP)
-    n = vel.shape[0]
     lags = jnp.arange(1, n, dtype=visc_ts.dtype)
     w = slice(n // 8, n // 2)
     slope, _ = ops.polyfit_linear(lags[w], visc_ts[w])
@@ -95,12 +130,16 @@ def tpu_pipeline(vel, pos, masses, times):
     per large chunk, not per step).
     """
     reps = 8
+    engine = _engine_args()
+    statics = () if engine is None else engine[1:]
 
-    def loop(vel, pos, masses, times):
+    def loop(vel, pos, masses, times, consts):
+        eng = None if consts is None else (consts,) + statics
+
         def body(carry, i):
             scale = 1.0 + 1e-9 * i.astype(vel.dtype)
             vacf_ts, d, visc_ts, slope = _analysis_step(
-                vel * scale, pos, masses, times
+                vel * scale, pos, masses, times, eng
             )
             digest = d + slope + vacf_ts[0] + visc_ts[-1]
             return carry + digest, None
@@ -110,9 +149,15 @@ def tpu_pipeline(vel, pos, masses, times):
         )
         return total
 
+    def single(vel, pos, masses, times, consts):
+        eng = None if consts is None else (consts,) + statics
+        return _analysis_step(vel, pos, masses, times, eng)
+
+    consts = None if engine is None else engine[0]
     fn = jax.jit(loop)
-    single = jax.jit(_analysis_step)
+    single = jax.jit(single)
     args = tuple(jax.device_put(a) for a in (vel, pos, masses, times))
+    args = args + (consts,)
     float(fn(*args))  # compile + warm
     t0 = time.perf_counter()
     total = float(fn(*args))  # readback fences the whole scan

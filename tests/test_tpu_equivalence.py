@@ -261,3 +261,34 @@ def test_pallas_fft_float32_profile():
     want = np.fft.irfft(np.abs(f) ** 2, n=m, axis=0)[:n]
     rel = np.max(np.abs(got - want)) / np.max(np.abs(want))
     assert rel < 1e-5
+
+
+def test_traceable_engine_sumlast_in_outer_jit():
+    """raw_autocorr_sumlast_engine (constants as jit ARGUMENTS) inside
+    an outer jit must match the eager engine dispatch bit-for-bit —
+    the bench pipeline depends on this entry point (the eager
+    dispatch correctly refuses engines under an active trace, which
+    silently regressed bench.py 1.12e12 -> 3.2e11 until the
+    traceable form was wired in)."""
+    import jax.numpy as jnp
+    from transport_analysis_tpu.ops import acf as ACF
+    from transport_analysis_tpu.ops import pallas_fft as PF
+
+    n, p, d = 4096, 256, 3  # s = 768 >= 2*_W_TILE
+    m = 2 * ACF.next_pow_2(n)
+    if not PF.supported(m, p * d):
+        pytest.skip("engine does not support this shape here")
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(0, 3, (n, p, d)))
+
+    eager = np.asarray(ACF.raw_autocorr_sumlast(x))
+
+    consts, n_bands, max_group = ACF.engine_consts_for(n)
+
+    @jax.jit
+    def step(x, consts):
+        return ACF.raw_autocorr_sumlast_engine(
+            x, consts, n_bands, max_group)
+
+    got = np.asarray(step(x, consts))
+    np.testing.assert_array_equal(got, eager)

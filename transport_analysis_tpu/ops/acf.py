@@ -243,22 +243,71 @@ def raw_autocorr_sumlast(x: jax.Array) -> jax.Array:
             # concat/slice/reshape/component-sum all run on f32 pairs
             # and only the final (N, P) result converts to float64.
             x_pad = jnp.pad(x.reshape(N, S), ((0, M - N), (0, 0)))
-            gr_hi, gr_lo, gi_hi, gi_lo = (
-                pallas_fft.raw_autocorr_pallas_pair(x_pad, N))
-            hi = jnp.concatenate([gr_hi, gi_hi], axis=1)[:, :S]
-            lo = jnp.concatenate([gr_lo, gi_lo], axis=1)[:, :S]
-            hi = hi.reshape(N, P, d)
-            lo = lo.reshape(N, P, d)
-            sh, sl = hi[..., 0], lo[..., 0]
-            for c in range(1, d):
-                s2 = sh + hi[..., c]
-                bv = s2 - sh
-                e = (sh - (s2 - bv)) + (hi[..., c] - bv)  # TwoSum
-                sh = s2
-                sl = sl + e + lo[..., c]
-            return sh.astype(jnp.float64) + sl.astype(jnp.float64)
+            pair = pallas_fft.raw_autocorr_pallas_pair(x_pad, N)
+            return _sumlast_pair_post(pair, N, P, d)
     raw = raw_autocorr(x.reshape(N, P * d)).reshape(N, P, d)
     return jnp.sum(raw, axis=-1)
+
+
+def _sumlast_pair_post(pair, N: int, P: int, d: int):
+    """Component sum of the engine's pair-domain output, on f32 pairs
+    (TwoSum over the d axis), converting only the final (N, P) to
+    float64. Pure jnp — traceable."""
+    gr_hi, gr_lo, gi_hi, gi_lo = pair
+    S = P * d
+    hi = jnp.concatenate([gr_hi, gi_hi], axis=1)[:, :S]
+    lo = jnp.concatenate([gr_lo, gi_lo], axis=1)[:, :S]
+    hi = hi.reshape(N, P, d)
+    lo = lo.reshape(N, P, d)
+    sh, sl = hi[..., 0], lo[..., 0]
+    for c in range(1, d):
+        s2 = sh + hi[..., c]
+        bv = s2 - sh
+        e = (sh - (s2 - bv)) + (hi[..., c] - bv)  # TwoSum
+        sh = s2
+        sl = sl + e + lo[..., c]
+    return sh.astype(jnp.float64) + sl.astype(jnp.float64)
+
+
+def engine_consts_for(n_frames: int, dtype=jnp.float64):
+    """Build (and cache) the banded engine's device constants for an
+    ``n_frames`` analysis shape, for callers that trace the engine
+    path inside their OWN jit (raw_autocorr_sumlast_engine below).
+
+    Must be called EAGERLY; returns ``(consts, n_bands, max_group)``
+    to pass through the outer jit as ARGUMENTS — constants that enter
+    a trace as closures embed as program literals (~100-350 MB),
+    which tunneled remote-compile backends reject (the reason the
+    default dispatch refuses to run engines under an active trace)."""
+    from . import pallas_fft
+
+    M = 2 * next_pow_2(n_frames)
+    n2 = M // 128
+    j1_out = max(1, -(-n_frames // n2))
+    n_bands, max_group = pallas_fft._profile(dtype)
+    return (pallas_fft._device_constants(n2, j1_out, n_bands),
+            n_bands, max_group)
+
+
+def raw_autocorr_sumlast_engine(x, consts, n_bands: int,
+                                max_group: int):
+    """TRACEABLE component-summed autocorrelation on the fused Pallas
+    engine: (N, P, d) float64 → (N, P). Unlike raw_autocorr_sumlast
+    (whose dispatch refuses engines under an active trace), this form
+    takes the banded constants as an argument — build them eagerly
+    with :func:`engine_consts_for` and thread them through the outer
+    jit — so whole analysis steps can compile as ONE program (used by
+    bench.py's scanned pipeline). Shape must satisfy
+    ``pallas_fft.supported(2*next_pow_2(N), P*d)``."""
+    from . import pallas_fft
+
+    N, P, d = x.shape
+    S = P * d
+    M = 2 * next_pow_2(N)
+    x_pad = jnp.pad(x.reshape(N, S), ((0, M - N), (0, 0)))
+    pair = pallas_fft._raw_autocorr_impl(
+        x_pad, consts, N, n_bands, max_group)
+    return _sumlast_pair_post(pair, N, P, d)
 
 
 def acf_fft(x) -> jax.Array:

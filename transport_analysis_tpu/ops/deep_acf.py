@@ -25,11 +25,13 @@ GEMMs, and f32 partial round-trips; see BENCH_NOTES "deep outer
 kernel".) The Hermitian unpack + power spectrum runs in XLA float64,
 and the inverse reuses the forward machinery via conjugation.
 
-Composition is EAGER (each stage is its own jit): tracing the engine
-inside an outer jit embeds its banded constants as program literals
-(~350 MB at n2 = 512 — see ops/pallas_fft.py), and the stages at
-M ~ 2^21 move multi-GB arrays whose buffers should be freed between
-stages rather than held by one giant program.
+On TPU the whole chain runs as ONE jit (_deep_chain_onejit): every
+banded constant is passed as an ARGUMENT, so nothing embeds as a
+program literal (the ~350 MB closure problem that originally forced
+eager staging — see ops/pallas_fft.py), and XLA buffer liveness holds
+the peak at in-stage in+out. A stage-by-stage eager fallback remains
+for CPU composition tests, HBM debugging, and tighter-memory
+backends (raw_autocorr_deep docstring).
 
 Dispatched from ops/acf.py (raw_autocorr / raw_autocorr_sumlast) for
 float64 series with M > the engine ceiling; measured numbers live in
@@ -667,6 +669,41 @@ def _fence(*arrays, tag: str = ""):
     return arrays
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("inner", "outer", "w", "s", "n_out", "n_bands",
+                     "max_group", "sum_d"),
+    donate_argnums=(0,))
+def _deep_chain_onejit(x, consts, tables, inner, outer, w, s, n_out,
+                       n_bands, max_group, sum_d):
+    """The full deep autocorrelation as ONE jit program.
+
+    Every banded constant arrives as an ARGUMENT (consts/tables), so
+    nothing embeds as a program literal — the historical reason the
+    chain ran eagerly. XLA's buffer liveness keeps the peak at
+    in-stage in+out (~8.6 GB at the pad-filled production stage size,
+    hardware-validated at the N=2^20 rung), and collapsing ~8 eager
+    dispatches into one saves the per-dispatch host round trips
+    (measured 1.31 s -> 1.07 s per acf on the tunneled v5e,
+    bit-identical output; benchmarks/deep_onejit.py)."""
+    pair = _prepare_pair(x, inner, outer, w, s)
+    pair = _pf._fft_fwd_impl(pair, consts, n_bands=n_bands,
+                             max_group=max_group, wt=_DEEP_WT)
+    pair = _outer_level_pallas(
+        *pair, *tables, inner=inner, outer=outer, w=w,
+        n_bands=n_bands, max_group=max_group)
+    zp = _fwd_from_kernel_pair(*pair, inner=inner, outer=outer, w=w)
+    pair = _unpack_to_pair(*zp, inner, outer, w)
+    pair = _pf._fft_fwd_impl(pair, consts, n_bands=n_bands,
+                             max_group=max_group, wt=_DEEP_WT)
+    pair = _outer_level_pallas(
+        *pair, *tables, inner=inner, outer=outer, w=w,
+        n_bands=n_bands, max_group=max_group)
+    (out,) = _inv_from_kernel(*pair, inner=inner, outer=outer,
+                              w=w, n_out=n_out, s=s, sum_d=sum_d)
+    return out
+
+
 def raw_autocorr_deep(x, n_out: int, m: int = None,
                       sum_d: int = 0):
     """Raw linear autocorrelation per column for engine-ineligible
@@ -679,18 +716,37 @@ def raw_autocorr_deep(x, n_out: int, m: int = None,
     ``sum_d`` folds the component sum into the fused epilogue,
     returning (n_out, S // sum_d).
 
-    The stages run EAGERLY (module docstring) and, at large shapes,
-    fence between stages: async dispatch would otherwise enqueue the
-    whole chain while every intermediate's buffer stays live —
-    multi-GB peaks the chip does not have. For the same reason the
-    float64 operands convert to f32 pairs FIRST and are freed before
-    the engine runs (the engine donates its pair inputs); pass ``x``
-    as a temporary (no caller-held reference) so the rebinds here
-    actually release HBM."""
+    On TPU backends the chain runs as ONE jit (_deep_chain_onejit,
+    constants passed as arguments). The stage-by-stage EAGER chain
+    below remains for CPU composition tests (whose host-FFT engine
+    stand-in is not traceable), for HBM debugging
+    (TRANSPORT_ANALYSIS_TPU_DEEP_HBM_DEBUG=1 prints per-stage device
+    memory), and as a fallback (TRANSPORT_ANALYSIS_TPU_DEEP_EAGER=1)
+    for backends where the one-jit peak does not fit; it fences
+    between stages above _FENCE_BYTES and frees each stage's sources
+    before the next runs — pass ``x`` as a temporary (no caller-held
+    reference) so the rebinds here actually release HBM."""
     n_rows, s = x.shape
     if m is None:
         m = n_rows
     inner, outer = _split_m(m)
+
+    use_onejit = (
+        jax.default_backend() not in ("cpu", "gpu", "cuda", "rocm")
+        and not _HBM_DEBUG
+        and not _os.environ.get("TRANSPORT_ANALYSIS_TPU_DEEP_EAGER")
+    )
+    if use_onejit:
+        half = (s + 1) // 2
+        w = -(-half // _DEEP_WT) * _DEEP_WT
+        n_bands, max_group = _pf._profile(jnp.float64)
+        consts = _pf._device_constants(inner // 128, 1, n_bands)
+        tables = _outer_kernel_tables(inner, outer, n_bands)
+        box = [x]
+        del x
+        return _deep_chain_onejit(
+            box.pop(), consts, tables, inner, outer, w, s, n_out,
+            n_bands, max_group, sum_d)
 
     if _HBM_DEBUG:
         import time as _time
