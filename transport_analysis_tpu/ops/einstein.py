@@ -144,7 +144,16 @@ def _prefix_sum_blocked(x: jax.Array) -> jax.Array:
             precision=jax.lax.Precision.HIGHEST,
         )
     totals = intra[:, -1, :]  # (n_blocks, P)
-    offsets = jnp.cumsum(totals, axis=0) - totals  # exclusive
+    if n_blocks > b:
+        # deep series (north-star rungs): the block totals are
+        # themselves a long axis — recurse onto the MXU instead of
+        # jnp.cumsum, whose emulated-f64 lowering is sequential
+        # (measured: the 8192-row totals cumsum at N=2^20 dominated
+        # the Einstein assembly)
+        csum = _prefix_sum_blocked(totals)
+    else:
+        csum = jnp.cumsum(totals, axis=0)
+    offsets = csum - totals  # exclusive
     out = intra + offsets[:, None, :]
     return out.reshape(n_blocks * b, p)[:n]
 
