@@ -125,6 +125,21 @@ class TestCompositionAlgebra:
         np.testing.assert_allclose(
             got, want, rtol=0, atol=1e-13 * np.abs(want).max())
 
+    def test_float32_input(self, fake_engine):
+        # f32 series ride the same chain (zero-tail pairs, lighter
+        # band profile on TPU); result comes back in float32
+        rng = np.random.default_rng(41)
+        n, s = 1 << 15, 4
+        m = 2 * acf.next_pow_2(n)
+        x = rng.standard_normal((n, s)).astype(np.float32)
+        out = np.asarray(deep_acf.raw_autocorr_deep(
+            jnp.asarray(x), n, m=m))
+        assert out.dtype == np.float32
+        ref = acf.acf_fft_numpy(
+            x.astype(np.float64)[:, :, None]
+        ) * (n - np.arange(n))[:, None]
+        assert np.max(np.abs(out - ref)) / np.abs(ref).max() < 1e-5
+
     def test_outer_4(self, fake_engine):
         # exercise a >2 outer factor and the k-major row interleave
         rng = np.random.default_rng(11)

@@ -292,3 +292,49 @@ def test_traceable_engine_sumlast_in_outer_jit():
 
     got = np.asarray(step(x, consts))
     np.testing.assert_array_equal(got, eager)
+
+
+def test_float32_deep_acf_grade():
+    """float32 series at deep sizes route through the deep composition
+    on the lighter 4-band profile instead of the slow matmul-FFT
+    fallback; ~1e-6 grade vs the host float64 oracle."""
+    import jax.numpy as jnp
+    from transport_analysis_tpu.ops import acf as ACF
+    from transport_analysis_tpu.ops import deep_acf as DA
+    from transport_analysis_tpu.ops.acf import acf_fft_numpy
+
+    n, s = 1 << 17, 16
+    m = 2 * ACF.next_pow_2(n)
+    assert DA.supported(m, s)
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((n, s)).astype(np.float32)
+    out = np.asarray(ACF.raw_autocorr(jnp.asarray(x)))
+    assert out.dtype == np.float32
+    ref = acf_fft_numpy(
+        x.astype(np.float64)[:, :, None]
+    ) * (n - np.arange(n))[:, None]
+    rel = np.max(np.abs(out - ref)) / np.abs(ref).max()
+    assert rel < 1e-4, rel
+
+
+def test_float32_engine_dispatch_grade():
+    """float32 at engine sizes now dispatches through the fused Pallas
+    engine (4-band profile) — ~1e-6 grade, f32 output dtype."""
+    import jax.numpy as jnp
+    from transport_analysis_tpu.ops import acf as ACF
+    from transport_analysis_tpu.ops import pallas_fft as PF
+    from transport_analysis_tpu.ops.acf import acf_fft_numpy
+
+    n, p, d = 4096, 256, 3
+    m = 2 * ACF.next_pow_2(n)
+    assert PF.supported(m, p * d)
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((n, p, d)).astype(np.float32)
+    out = np.asarray(ACF.raw_autocorr_sumlast(jnp.asarray(x)))
+    assert out.dtype == np.float32
+    # acf_fft_numpy returns the normalized component-summed acf;
+    # undo the (n - lag) normalization to compare raw sums
+    ref = acf_fft_numpy(
+        x.astype(np.float64)) * (n - np.arange(n))[:, None]
+    rel = np.max(np.abs(out - ref)) / np.abs(ref).max()
+    assert rel < 1e-4, rel

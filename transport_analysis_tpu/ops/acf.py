@@ -156,7 +156,7 @@ def raw_autocorr(x: jax.Array) -> jax.Array:
         return _raw_autocorr_native(x)
     M = 2 * next_pow_2(N)
     if (
-        x.dtype == jnp.float64
+        x.dtype in (jnp.float64, jnp.float32)
         and not os.environ.get("TRANSPORT_ANALYSIS_TPU_NO_PALLAS_FFT")
         and _eager_engines_ok()
     ):
@@ -220,7 +220,7 @@ def raw_autocorr_sumlast(x: jax.Array) -> jax.Array:
     M = 2 * next_pow_2(N)
     S = P * d
     if (
-        x.dtype == jnp.float64
+        x.dtype in (jnp.float64, jnp.float32)
         and not os.environ.get("TRANSPORT_ANALYSIS_TPU_NO_PALLAS_FFT")
         and _eager_engines_ok()
     ):
@@ -242,17 +242,19 @@ def raw_autocorr_sumlast(x: jax.Array) -> jax.Array:
             # measured 13 ms of reshapes in this wrapper alone), so the
             # concat/slice/reshape/component-sum all run on f32 pairs
             # and only the final (N, P) result converts to float64.
+            dt = x.dtype
             x_pad = jnp.pad(x.reshape(N, S), ((0, M - N), (0, 0)))
             pair = pallas_fft.raw_autocorr_pallas_pair(x_pad, N)
-            return _sumlast_pair_post(pair, N, P, d)
+            return _sumlast_pair_post(pair, N, P, d, dtype=dt)
     raw = raw_autocorr(x.reshape(N, P * d)).reshape(N, P, d)
     return jnp.sum(raw, axis=-1)
 
 
-def _sumlast_pair_post(pair, N: int, P: int, d: int):
+def _sumlast_pair_post(pair, N: int, P: int, d: int,
+                       dtype=jnp.float64):
     """Component sum of the engine's pair-domain output, on f32 pairs
     (TwoSum over the d axis), converting only the final (N, P) to
-    float64. Pure jnp — traceable."""
+    ``dtype``. Pure jnp — traceable."""
     gr_hi, gr_lo, gi_hi, gi_lo = pair
     S = P * d
     hi = jnp.concatenate([gr_hi, gi_hi], axis=1)[:, :S]
@@ -266,6 +268,8 @@ def _sumlast_pair_post(pair, N: int, P: int, d: int):
         e = (sh - (s2 - bv)) + (hi[..., c] - bv)  # TwoSum
         sh = s2
         sl = sl + e + lo[..., c]
+    if dtype == jnp.float32:
+        return sh + sl
     return sh.astype(jnp.float64) + sl.astype(jnp.float64)
 
 

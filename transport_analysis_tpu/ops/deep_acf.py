@@ -34,8 +34,10 @@ for CPU composition tests, HBM debugging, and tighter-memory
 backends (raw_autocorr_deep docstring).
 
 Dispatched from ops/acf.py (raw_autocorr / raw_autocorr_sumlast) for
-float64 series with M > the engine ceiling; measured numbers live in
-BENCH_NOTES.md ("deep composition").
+float64 AND float32 series with M > the engine ceiling (f32 rides the
+lighter 4-band profile — zero-tail pairs, ~1e-5 grade, measured
+7.6e13 lags/s at N=2^20; output dtype preserved); measured numbers
+live in BENCH_NOTES.md ("deep composition").
 """
 
 from __future__ import annotations
@@ -590,7 +592,8 @@ def _inv_from_kernel(rh, rl, ih, il, inner: int, outer: int, w: int,
 
 def _deep_fft_fwd_pair(pair, inner: int, outer: int, w: int,
                        n_out: int = None, s: int = None,
-                       as_pair: bool = False, sum_d: int = 0):
+                       as_pair: bool = False, sum_d: int = 0,
+                       profile=None):
     """Forward FFT via engine + fused outer-level kernel. ``pair`` is
     the complex double-float (re_hi, re_lo, im_hi, im_lo), each
     (inner, w*outer) float32 with lanes (w, j2) — DONATED to the
@@ -601,8 +604,10 @@ def _deep_fft_fwd_pair(pair, inner: int, outer: int, w: int,
     autocorrelation), the epilogue lane-trims k2, folds the 1/M, and
     emits the assembled (n_out, s) result directly."""
     # one profile for both levels: the engine reads it internally,
-    # the outer kernel takes it as statics (same 7-bit band grid)
-    n_bands, max_group = _pf._profile(jnp.float64)
+    # the outer kernel takes it as statics (same 7-bit band grid);
+    # float32 inputs ride the lighter 4-band profile
+    n_bands, max_group = (profile if profile is not None
+                          else _pf._profile(jnp.float64))
     pair = _pf.fft_banded_pair(pair, wt=_DEEP_WT)
     pair = _fence(*pair, tag="engine")
     tables = _outer_kernel_tables(inner, outer, n_bands)
@@ -730,6 +735,8 @@ def raw_autocorr_deep(x, n_out: int, m: int = None,
     if m is None:
         m = n_rows
     inner, outer = _split_m(m)
+    dtype = x.dtype
+    n_bands, max_group = _pf._profile(dtype)
 
     use_onejit = (
         jax.default_backend() not in ("cpu", "gpu", "cuda", "rocm")
@@ -739,14 +746,14 @@ def raw_autocorr_deep(x, n_out: int, m: int = None,
     if use_onejit:
         half = (s + 1) // 2
         w = -(-half // _DEEP_WT) * _DEEP_WT
-        n_bands, max_group = _pf._profile(jnp.float64)
         consts = _pf._device_constants(inner // 128, 1, n_bands)
         tables = _outer_kernel_tables(inner, outer, n_bands)
         box = [x]
         del x
-        return _deep_chain_onejit(
+        out = _deep_chain_onejit(
             box.pop(), consts, tables, inner, outer, w, s, n_out,
             n_bands, max_group, sum_d)
+        return out.astype(dtype) if dtype != out.dtype else out
 
     if _HBM_DEBUG:
         import time as _time
@@ -760,7 +767,8 @@ def raw_autocorr_deep(x, n_out: int, m: int = None,
     del x  # donated to _prepare_pair
 
     zp = _fence(
-        *_deep_fft_fwd_pair(pair, inner, outer, w, as_pair=True),
+        *_deep_fft_fwd_pair(pair, inner, outer, w, as_pair=True,
+                            profile=(n_bands, max_group)),
         tag="fwd")
     del pair
     # fused unpack + power + conjugate pair split: the inverse of
@@ -774,9 +782,10 @@ def raw_autocorr_deep(x, n_out: int, m: int = None,
     # scale folded into the (tiny) DFT matrices, epilogue fused in
     (out,) = _fence(
         *_deep_fft_fwd_pair(pair, inner, outer, w, n_out=n_out, s=s,
-                            sum_d=sum_d),
+                            sum_d=sum_d,
+                            profile=(n_bands, max_group)),
         tag="inv")
     del pair
     if _HBM_DEBUG:
         _fence(out, tag="deep_done")
-    return out
+    return out.astype(dtype) if dtype != out.dtype else out
