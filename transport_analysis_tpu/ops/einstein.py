@@ -165,6 +165,15 @@ def _center(a):
 
 
 @jax.jit
+def _center_and_sq(a):
+    """Fused per-series centering + component-summed squares: one
+    program reads the (N, P, d) operand once for both outputs (the
+    separate _center -> _sq_sum chain re-read the centered array)."""
+    c = a - jnp.mean(a, axis=0, keepdims=True)
+    return c, jnp.sum(c * c, axis=-1)
+
+
+@jax.jit
 def _sq_sum(a):
     """|a_i|² summed over the component axis, (N, P, d) → (N, P)."""
     return jnp.sum(a * a, axis=-1)
@@ -230,15 +239,17 @@ def einstein_difference_fft(a, reduce_mode: str = "mean",
     if a.ndim == 2:
         a = a[:, :, None]
     d = a.shape[-1]
-    if corr is None:
-        a = _center(a)
     # |a_i|² summed over components FIRST (an (N, P) array, d·3×
-    # smaller), then the (N, P, d) operand is handed to the
-    # correlation WITHOUT a surviving local reference (box.pop()):
-    # the deep chain at N ≥ 2^17 runs multi-GB stages, and a held
-    # operand adds its full size onto the chain's HBM peak (measured:
-    # the held centered operand was the OOM at the N=2^20 rung)
-    sq = _sq_sum(a)
+    # smaller; fused with the centering so the operand is read once),
+    # then the (N, P, d) operand is handed to the correlation WITHOUT
+    # a surviving local reference (box.pop()): the deep chain at
+    # N ≥ 2^17 runs multi-GB stages, and a held operand adds its full
+    # size onto the chain's HBM peak (measured: the held centered
+    # operand was the OOM at the N=2^20 rung)
+    if corr is None:
+        a, sq = _center_and_sq(a)
+    else:
+        sq = _sq_sum(a)
     if corr is None:
         box = [a]
         del a
