@@ -42,7 +42,8 @@ def next_pow_2(n: int) -> int:
 
 
 def auto_atom_chunk(
-    n_frames: int, d: int = 3, hbm_budget_gb: float | None = None
+    n_frames: int, d: int = 3, hbm_budget_gb: float | None = None,
+    dtype=jnp.float64,
 ) -> int:
     """Largest atom chunk whose float64 FFT correlation pass fits in
     device memory, on the PAD-FILLING grid.
@@ -73,12 +74,17 @@ def auto_atom_chunk(
         hbm_budget_gb = float(_os.environ.get(
             "TRANSPORT_ANALYSIS_TPU_HBM_BUDGET_GB", 12.0))
     budget = hbm_budget_gb * 1e9
+    # chain stages are f32 pairs regardless of input dtype; only the
+    # held SOURCE scales with the input itemsize. (In practice the
+    # stage term dominates at every deep rung, so f32 rarely unlocks
+    # a bigger chunk — modeled for correctness, not a speedup.)
+    isize = float(jnp.dtype(dtype).itemsize)
     m = 2 * next_pow_2(n_frames)
     if m <= 65536:
         best = 16
         for chunk in (16, 32, 64, 128, 256, 512, 1024, 2048, 4096):
             w = -(-d * chunk // 2 // 128) * 128
-            peak = m * w * 48.0 + n_frames * chunk * 8.0 * d
+            peak = m * w * 48.0 + n_frames * chunk * isize * d
             if peak <= budget:
                 best = chunk
         return best
@@ -86,7 +92,7 @@ def auto_atom_chunk(
     for k in range(1, 64):
         chunk = (256 * k) // d
         w = 128 * k
-        peak = 32.0 * m * w + 8.0 * d * n_frames * chunk
+        peak = 32.0 * m * w + isize * d * n_frames * chunk
         if peak <= budget:
             best = chunk
     return best
