@@ -338,3 +338,29 @@ def test_float32_engine_dispatch_grade():
         x.astype(np.float64)) * (n - np.arange(n))[:, None]
     rel = np.max(np.abs(out - ref)) / np.abs(ref).max()
     assert rel < 1e-4, rel
+
+
+def test_model_vacf_deep_shape_on_hardware():
+    """The MODEL layer end-to-end on hardware at a deep frame count:
+    Universe -> VelocityAutocorr.run() must route through the deep
+    composition (N = 2^17 > the engine ceiling) and match the host
+    f64 oracle — covers the batched frame feed + dispatch + deep
+    chain as the user actually runs them."""
+    import transport_analysis_tpu as ta
+    from transport_analysis_tpu import VelocityAutocorr
+    from transport_analysis_tpu.ops.acf import acf_fft_numpy
+
+    n, p = 1 << 17, 16
+    rng = np.random.default_rng(3)
+    vel = rng.standard_normal((n, p, 3))
+    u = ta.Universe.empty(
+        p, trajectory=True, velocities=True, n_frames=1)
+    u.load_new(np.zeros((n, p, 3), np.float32),
+               velocities=vel.astype(np.float32))
+    v = VelocityAutocorr(u.atoms).run()
+    got = np.asarray(v.results.timeseries)
+    # the reader stores f32 frames; the oracle sees the same values
+    ref = acf_fft_numpy(vel.astype(np.float32).astype(np.float64))
+    ref = ref.mean(axis=1)
+    scale = np.abs(ref).max()
+    assert np.max(np.abs(got - ref)) / scale < 1e-10
