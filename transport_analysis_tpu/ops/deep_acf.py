@@ -688,9 +688,12 @@ def _deep_chain_onejit(x, consts, tables, inner, outer, w, s, n_out,
     chain ran eagerly. XLA's buffer liveness keeps the peak at
     in-stage in+out (~8.6 GB at the pad-filled production stage size,
     hardware-validated at the N=2^20 rung), and collapsing ~8 eager
-    dispatches into one saves the per-dispatch host round trips
-    (measured 1.31 s -> 1.07 s per acf on the tunneled v5e,
-    bit-identical output; benchmarks/deep_onejit.py)."""
+    dispatches into one removes the per-dispatch host round trips.
+    Measured (benchmarks/deep_onejit.py, bit-identical output): with
+    a loaded host 1.31 -> 1.07 s per acf; with an idle host the two
+    are identical (pipelined eager dispatch hides the trips) — the
+    one-jit's value is robustness to host load, which production
+    hosts (IO, prefetch, decode threads) always have."""
     pair = _prepare_pair(x, inner, outer, w, s)
     pair = _pf._fft_fwd_impl(pair, consts, n_bands=n_bands,
                              max_group=max_group, wt=_DEEP_WT)
