@@ -364,3 +364,54 @@ def test_model_vacf_deep_shape_on_hardware():
     ref = ref.mean(axis=1)
     scale = np.abs(ref).max()
     assert np.max(np.abs(got - ref)) / scale < 1e-10
+
+
+def test_model_helfand_deep_shape_on_hardware():
+    """ViscosityHelfand end-to-end on hardware at a deep frame count
+    (N = 2^17): batched feed + centered Kneller/Calandrini assembly +
+    the one-jit deep correlation, vs a host numpy-FFT oracle of the
+    same identity."""
+    import transport_analysis_tpu as ta
+    from transport_analysis_tpu import ViscosityHelfand
+    from transport_analysis_tpu.core import transformations
+
+    n, p = 1 << 17, 16
+    rng = np.random.default_rng(13)
+    vel = rng.standard_normal((n, p, 3)).astype(np.float32)
+    pos = rng.standard_normal((n, p, 3)).astype(np.float32)
+    masses = rng.uniform(1, 16, p)
+
+    u = ta.Universe.empty(
+        p, trajectory=True, velocities=True, n_frames=1)
+    u.add_TopologyAttr("masses", masses)
+    u.load_new(pos, velocities=vel)
+    u.trajectory.add_transformations(
+        transformations.set_dimensions([10.0, 10.0, 10.0, 90, 90, 90]))
+
+    vis = ViscosityHelfand(u.atoms, temp_avg=300.0).run()
+    got = np.asarray(vis.results.timeseries)
+
+    # host oracle: same Kneller/Calandrini identity in numpy f64
+    a = (masses[None, :, None]
+         * vel.astype(np.float64) * pos.astype(np.float64))
+    a = a - a.mean(axis=0, keepdims=True)
+    sq = np.sum(a * a, axis=-1)
+    m = 2 * n
+    f = np.fft.rfft(a, n=m, axis=0)
+    corr = np.fft.irfft(
+        (f * np.conj(f)).real.sum(axis=-1), n=m, axis=0)[:n]
+    css = np.cumsum(sq, axis=0)
+    lags = np.arange(n)
+    s_head = css[n - 1 - lags]
+    css_prev = np.concatenate(
+        [np.zeros((1, p)), css[:-1]], axis=0)
+    s_tail = css[-1][None, :] - css_prev
+    raw = (s_head + s_tail - 2.0 * corr) / (n - lags)[:, None] / 3.0
+    raw[0] = 0.0
+    from transport_analysis_tpu.utils.units import constants
+
+    kb = constants["Boltzmann_constant"]
+    vol = 10.0 ** 3
+    ref = raw.mean(axis=1) / (2.0 * kb * vol * 300.0)
+    scale = np.abs(ref).max()
+    assert np.max(np.abs(got - ref)) / scale < 1e-9
