@@ -415,3 +415,25 @@ def test_model_helfand_deep_shape_on_hardware():
     ref = raw.mean(axis=1) / (2.0 * kb * vol * 300.0)
     scale = np.abs(ref).max()
     assert np.max(np.abs(got - ref)) / scale < 1e-9
+
+
+def test_model_vacf_float32_fast_mode_on_hardware():
+    """VelocityAutocorr(dtype=float32) through the model layer at an
+    engine shape: the f32 fast mode must reach the Pallas engine's
+    4-band profile end to end (not the matmul fallback) and deliver
+    f32-appropriate accuracy."""
+    import transport_analysis_tpu as ta
+    from transport_analysis_tpu import VelocityAutocorr
+    from transport_analysis_tpu.ops.acf import acf_fft_numpy
+
+    n, p = 4096, 256
+    rng = np.random.default_rng(17)
+    vel = rng.standard_normal((n, p, 3)).astype(np.float32)
+    u = ta.Universe.empty(
+        p, trajectory=True, velocities=True, n_frames=1)
+    u.load_new(np.zeros((n, p, 3), np.float32), velocities=vel)
+    v = VelocityAutocorr(u.atoms, dtype=np.float32).run()
+    got = np.asarray(v.results.timeseries)
+    ref = acf_fft_numpy(vel.astype(np.float64)).mean(axis=1)
+    scale = np.abs(ref).max()
+    assert np.max(np.abs(got - ref)) / scale < 1e-4
