@@ -116,8 +116,10 @@ def main():
     # 5: streaming smoke (full run: benchmarks/northstar.py)
     results.append({
         "config": "5 streaming 100k-atom scale",
-        "see": "benchmarks/northstar.py (1.65e12 lags/s sustained, "
-               "65.3 s for 100,352 atoms x 32,768 frames)",
+        "see": "benchmarks/northstar.py (1.63e12 lags/s sustained, "
+               "66.1 s for 100,352 atoms x 32,768 frames at the "
+               "recalibrated auto chunk=1024; the 2^20-frame rungs "
+               "run 3.6e13 lags/s)",
     })
 
     for r in results:

@@ -218,7 +218,10 @@ class TestAutoAtomChunk:
     def test_engine_path_unchanged(self):
         from transport_analysis_tpu.ops.acf import auto_atom_chunk
 
-        assert auto_atom_chunk(32768, d=3) == 2048
+        # 2048 at N=32768 modeled 11.3 GB under the old 48 B/elem
+        # engine coefficient but OOMed on hardware; 64 B/elem picks
+        # the hardware-validated 1024 (66 s for the 100k-atom slice)
+        assert auto_atom_chunk(32768, d=3) == 1024
         assert auto_atom_chunk(8192, d=3) == 4096
 
     def test_budget_scales(self):

@@ -59,8 +59,11 @@ def auto_atom_chunk(
     * deep path (M = 2·next_pow2(N) > 65536): peak stage holds two
       full f64 complex spectra = 32·M·w bytes (w = 128·k packed
       columns), plus the caller's surviving f64 source ≈ 24·N·chunk.
-    * engine path (M ≤ 65536): measured peak ≈ M·w'·48 with
-      w' = d·chunk/2 padded to 128, plus the (N, chunk, d) source.
+    * engine path (M ≤ 65536): peak ≈ M·w'·64 with w' = d·chunk/2
+      padded to 128, plus the (N, chunk, d) source (recalibrated:
+      the 48-coefficient model admitted chunk=2048 at N=32768 —
+      modeled 11.3 GB — which OOMs on hardware; chunk=1024 runs the
+      100k-atom slice at 66 s).
 
     The budget defaults to 12 GB: on a 16 GB v5e every configuration
     with a modeled peak <= 10.7 GB ran, and both 13.4 GB configs
@@ -84,7 +87,7 @@ def auto_atom_chunk(
         best = 16
         for chunk in (16, 32, 64, 128, 256, 512, 1024, 2048, 4096):
             w = -(-d * chunk // 2 // 128) * 128
-            peak = m * w * 48.0 + n_frames * chunk * isize * d
+            peak = m * w * 64.0 + n_frames * chunk * isize * d
             if peak <= budget:
                 best = chunk
         return best
