@@ -272,7 +272,17 @@ def _unpack_to_pair(zrh, zrl, zih, zil, inner: int, outer: int,
     Output row k needs input rows k and (M−k) mod M: each slab reads
     its own contiguous slice plus the mirrored slice flipped, with the
     single wrap row prepended (same access pattern as _unpack_power's
-    row-slab path)."""
+    row-slab path).
+
+    Hermitian-output symmetry (round-6 lever): both power spectra of
+    the two packed REAL series satisfy p[M−k] = p[k] — f1r/f2r are
+    even and f1i/f2i odd in k by construction (the same two summands
+    commute / negate, which is EXACT in floating point), and squaring
+    kills the sign. The slabbed path therefore computes only rows
+    0..M/2 and mirrors rows M/2+1..M−1 as a flip copy: half the
+    direct+rev gather reads and half the f64 algebra + pair splits,
+    bit-identical output (asserted against the straight-line full-M
+    path in tests/test_deep_acf.py)."""
     m, _ = zrh.shape
     # slab ROWS scale inversely with width: the budget is ELEMENTS
     # (_UNPACK_SLAB rows at the w=128 reference width — ~6 live slab
@@ -304,12 +314,24 @@ def _unpack_to_pair(zrh, zrl, zih, zil, inner: int, outer: int,
             for a in (rh, rl, ih, il)
         )
 
+    half = m // 2  # ll is a pow2 < m, so ll <= half and half % ll == 0
+
+    # Each slab runs the algebra on rows a..a+ll (ONE extra row) and
+    # emits two turned parts: its first-half block [a, a+ll) and its
+    # own mirror block — p[m-k] = p[k] puts the mirrors of k in
+    # (a, a+ll] at raw output rows [m-a-ll, m-a), which is
+    # ll-aligned, so the in-slab raw-space flip turns cleanly (no
+    # lane permutes, no full-array transpose). The Nyquist row
+    # k = half rides the last slab's extra row through the general
+    # formula (f1i/f2i vanish exactly there, so the algebra is
+    # bit-equal to its special case). Mirror blocks land in
+    # descending order; the part-level flip below restores it.
     def slab(a0):
         a = a0 * ll
 
         def direct(h, l):
-            hs = jax.lax.dynamic_slice(h, (a, 0), (ll, w))
-            ls = jax.lax.dynamic_slice(l, (a, 0), (ll, w))
+            hs = jax.lax.dynamic_slice(h, (a, 0), (ll + 1, w))
+            ls = jax.lax.dynamic_slice(l, (a, 0), (ll + 1, w))
             return hs.astype(f64) + ls.astype(f64)
 
         def rev(h, l):
@@ -319,7 +341,7 @@ def _unpack_to_pair(zrh, zrl, zih, zil, inner: int, outer: int,
                 head = jax.lax.dynamic_slice(
                     z, ((m - a) % m, 0), (1, w))
                 return jnp.concatenate(
-                    [head, jnp.flip(tail, axis=0)[: ll - 1]], axis=0)
+                    [head, jnp.flip(tail, axis=0)], axis=0)
 
             return cut(h).astype(f64) + cut(l).astype(f64)
 
@@ -333,10 +355,20 @@ def _unpack_to_pair(zrh, zrl, zih, zil, inner: int, outer: int,
         f2i = 0.5 * (r_rev - zs)
         rh, rl = _pf._split_pair(f1r * f1r + f1i * f1i)
         ih, il = _pf._split_pair(-(f2r * f2r + f2i * f2i))
-        return tuple(turn(a_, ll) for a_ in (rh, rl, ih, il))
+        firsts = tuple(turn(a_[:ll], ll) for a_ in (rh, rl, ih, il))
+        mirrors = tuple(
+            turn(jnp.flip(a_[1:], axis=0), ll)
+            for a_ in (rh, rl, ih, il))
+        return firsts + mirrors
 
-    parts = jax.lax.map(slab, jnp.arange(m // ll))
-    return tuple(a.reshape(inner, w * outer) for a in parts)
+    res = jax.lax.map(slab, jnp.arange(half // ll))
+    h2 = inner // 2
+    out = []
+    for i in range(4):
+        first = res[i].reshape(h2, w * outer)
+        sec = jnp.flip(res[4 + i], axis=0).reshape(h2, w * outer)
+        out.append(jnp.concatenate([first, sec], axis=0))
+    return tuple(out)
 
 
 def _df_mul(ah, al, bh, bl):
