@@ -156,3 +156,75 @@ class TestDeepPlumbing:
         err = max(np.abs(want_re - got_re).max(),
                   np.abs(want_im - got_im).max())
         assert 1e-16 < err / scale < 1e-8  # trimmed, but in-grade
+
+
+class TestDeepPrecisionWarning:
+    """Trimmed profiles at deep shapes are OUT of the 1e-11 contract
+    (hardware-measured 2.4e-10 for 'high', BENCH_NOTES precision
+    ladder): the deep dispatch warns once per process."""
+
+    def _call(self, monkeypatch):
+        from transport_analysis_tpu.ops import deep_acf as DA
+
+        # stop before any compute: the warning fires at dispatch,
+        # ahead of the backend gates / engine calls
+        seen = {}
+
+        def grab(*a, **k):
+            seen["hit"] = True
+            raise _Stop()
+
+        class _Stop(Exception):
+            pass
+
+        monkeypatch.setattr(DA, "_split_m", grab)
+        x = jnp.zeros((16, 3), jnp.float64)
+        with pytest.raises(_Stop):
+            DA.raw_autocorr_deep(x, 16, m=1 << 17)
+        assert seen["hit"]
+
+    def test_warns_once_on_trimmed_profile(self, monkeypatch):
+        from transport_analysis_tpu.ops import deep_acf as DA
+
+        monkeypatch.setattr(DA, "_PRECISION_WARNED", [False])
+        with ops.fft_precision("high"):
+            with pytest.warns(UserWarning, match="OUTSIDE the 1e-11"):
+                self._call(monkeypatch)
+            # second dispatch: no duplicate warning
+            import warnings
+
+            with warnings.catch_warnings():
+                warnings.simplefilter("error")
+                self._call(monkeypatch)
+
+    def test_exact_profile_does_not_warn(self, monkeypatch):
+        import warnings
+
+        from transport_analysis_tpu.ops import deep_acf as DA
+
+        monkeypatch.setattr(DA, "_PRECISION_WARNED", [False])
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            self._call(monkeypatch)
+
+    def test_float32_does_not_warn(self, monkeypatch):
+        import warnings
+
+        from transport_analysis_tpu.ops import deep_acf as DA
+
+        monkeypatch.setattr(DA, "_PRECISION_WARNED", [False])
+        x = jnp.zeros((16, 3), jnp.float32)
+        seen = {}
+
+        class _Stop(Exception):
+            pass
+
+        def grab(*a, **k):
+            seen["hit"] = True
+            raise _Stop()
+
+        monkeypatch.setattr(DA, "_split_m", grab)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            with pytest.raises(_Stop):
+                DA.raw_autocorr_deep(x, 16, m=1 << 17)

@@ -285,9 +285,13 @@ def _unpack_to_pair(zrh, zrl, zih, zil, inner: int, outer: int,
     path in tests/test_deep_acf.py)."""
     m, _ = zrh.shape
     # slab ROWS scale inversely with width: the budget is ELEMENTS
-    # (_UNPACK_SLAB rows at the w=128 reference width — ~6 live slab
-    # temps of 128 MB f64 each). A fixed row count OOMed the
-    # N=2^17 × chunk=682 rung, where w=1024 made each temp 8× larger.
+    # (_UNPACK_SLAB rows at the w=128 reference width). Each slab
+    # processes ll+1 rows (its block plus the one-row mirror overlap),
+    # holds ~6 live (ll+1, w) f64 temps through the algebra, and emits
+    # 8 turned f32 parts (4 firsts + 4 mirrors) — half the slab count
+    # of the pre-symmetry path, so the per-slab element budget is
+    # unchanged. A fixed row count OOMed the N=2^17 × chunk=682 rung,
+    # where w=1024 made each temp 8× larger.
     def turn(a, rows):
         # rows consecutive j = j1*outer + j2 -> lanes (w, j2)
         return a.reshape(rows // outer, outer, w).swapaxes(
@@ -314,18 +318,27 @@ def _unpack_to_pair(zrh, zrl, zih, zil, inner: int, outer: int,
             for a in (rh, rl, ih, il)
         )
 
-    half = m // 2  # ll is a pow2 < m, so ll <= half and half % ll == 0
+    # the mirror alignment below needs pow2 m (ll is a pow2, so
+    # ll <= half and half % ll == 0 follow); _split_m can accept a
+    # non-pow2 outer, but only supported() — which enforces pow2 —
+    # gates production dispatch, so make the precondition loud here
+    assert m & (m - 1) == 0, f"slabbed unpack requires pow2 M, got {m}"
+    half = m // 2
 
     # Each slab runs the algebra on rows a..a+ll (ONE extra row) and
-    # emits two turned parts: its first-half block [a, a+ll) and its
-    # own mirror block — p[m-k] = p[k] puts the mirrors of k in
-    # (a, a+ll] at raw output rows [m-a-ll, m-a), which is
-    # ll-aligned, so the in-slab raw-space flip turns cleanly (no
-    # lane permutes, no full-array transpose). The Nyquist row
-    # k = half rides the last slab's extra row through the general
-    # formula (f1i/f2i vanish exactly there, so the algebra is
-    # bit-equal to its special case). Mirror blocks land in
-    # descending order; the part-level flip below restores it.
+    # writes two turned blocks STRAIGHT into the preallocated outputs
+    # via in-place dynamic_update_slice on the fori_loop carries: its
+    # first-half block [a, a+ll) and its own mirror block —
+    # p[m-k] = p[k] puts the mirrors of k in (a, a+ll] at raw output
+    # rows [m-a-ll, m-a), which is ll-aligned, so the in-slab
+    # raw-space flip turns cleanly (no lane permutes, no full-array
+    # transpose) and each update is a static-size slice at a dynamic
+    # row. The Nyquist row k = half rides the last slab's extra row
+    # through the general formula (f1i/f2i vanish exactly there, so
+    # the algebra is bit-equal to its special case). Writing through
+    # the loop carries (instead of stacking lax.map results and
+    # flip+concatenating them) removes a full-size copy per output
+    # and the stacked intermediate's transient HBM.
     def slab(a0):
         a = a0 * ll
 
@@ -361,14 +374,22 @@ def _unpack_to_pair(zrh, zrl, zih, zil, inner: int, outer: int,
             for a_ in (rh, rl, ih, il))
         return firsts + mirrors
 
-    res = jax.lax.map(slab, jnp.arange(half // ll))
-    h2 = inner // 2
-    out = []
-    for i in range(4):
-        first = res[i].reshape(h2, w * outer)
-        sec = jnp.flip(res[4 + i], axis=0).reshape(h2, w * outer)
-        out.append(jnp.concatenate([first, sec], axis=0))
-    return tuple(out)
+    llt = ll // outer
+
+    def body(a0, outs):
+        parts = slab(a0)
+        new = []
+        for i in range(4):
+            o = jax.lax.dynamic_update_slice(
+                outs[i], parts[i], (a0 * llt, 0))
+            o = jax.lax.dynamic_update_slice(
+                o, parts[4 + i], (inner - (a0 + 1) * llt, 0))
+            new.append(o)
+        return tuple(new)
+
+    init = tuple(
+        jnp.zeros((inner, w * outer), jnp.float32) for _ in range(4))
+    return jax.lax.fori_loop(0, half // ll, body, init)
 
 
 def _df_mul(ah, al, bh, bl):
@@ -744,6 +765,34 @@ def _deep_chain_onejit(x, consts, tables, inner, outer, w, s, n_out,
     return out
 
 
+# once-per-process flag for the out-of-contract precision warning
+_PRECISION_WARNED = [False]
+
+
+def _warn_deep_precision(n_bands: int, max_group: int):
+    """Warn (once per process) when a trimmed fft_precision profile
+    reaches the deep composition: the engine-only grade of a trimmed
+    profile does NOT survive the extra outer level + conjugation leg.
+    Hardware-measured at the N=2^20 rung (BENCH_NOTES "precision
+    ladder"): "high" (7, 5) lands at 2.4e-10 and "medium" (5, 4) at
+    4.9e-8 — both outside the package's 1e-11 float64 contract, which
+    only the default "exact" profile holds at deep shapes."""
+    if _PRECISION_WARNED[0]:
+        return
+    _PRECISION_WARNED[0] = True
+    import warnings
+
+    warnings.warn(
+        f"fft_precision profile (n_bands={n_bands}, max_group="
+        f"{max_group}) on a deep-composition transform (> 32768 "
+        "frames): measured deep-shape error is ~1e-10 ('high') to "
+        "~1e-8 ('medium'), OUTSIDE the 1e-11 float64 contract that "
+        "the default 'exact' profile holds. Use ops.fft_precision("
+        "'exact') (the default) if you need contract-grade results.",
+        stacklevel=3,
+    )
+
+
 def raw_autocorr_deep(x, n_out: int, m: int = None,
                       sum_d: int = 0):
     """Raw linear autocorrelation per column for engine-ineligible
@@ -769,9 +818,13 @@ def raw_autocorr_deep(x, n_out: int, m: int = None,
     n_rows, s = x.shape
     if m is None:
         m = n_rows
-    inner, outer = _split_m(m)
     dtype = x.dtype
     n_bands, max_group = _pf._profile(dtype)
+    if dtype == jnp.float64 and (
+        (n_bands, max_group) != (_pf._N_BANDS, _pf._MAX_GROUP)
+    ):
+        _warn_deep_precision(n_bands, max_group)
+    inner, outer = _split_m(m)
 
     use_onejit = (
         jax.default_backend() not in ("cpu", "gpu", "cuda", "rocm")
