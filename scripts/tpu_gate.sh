@@ -13,10 +13,37 @@ cd "$(dirname "$0")/.."
 
 MIN_LAGS="${TPU_GATE_MIN_LAGS:-1.0e12}"   # throughput regression floor
 MAX_RELERR="${TPU_GATE_MAX_RELERR:-1e-11}"  # f64 contract
+# deep-chain rung floors (scripts/deep_gate.py: N=2^17, P=16, f64 —
+# measured 7.5e10 lags/s; the floor catches a >=20% regression or a
+# silent dispatch regression off the deep path, the blind spot that
+# let the round-2 trace-gate incident through)
+MIN_DEEP_LAGS="${TPU_GATE_MIN_DEEP_LAGS:-6.0e10}"
 
 echo "== on-TPU equivalence suite =="
 TRANSPORT_ANALYSIS_TPU_TEST_TPU=1 python -m pytest \
     tests/test_tpu_equivalence.py -q
+
+echo "== deep-chain rung gate (floor ${MIN_DEEP_LAGS} lags/s) =="
+DEEP_OUT=$(python scripts/deep_gate.py | tail -1)
+echo "$DEEP_OUT"
+python - "$DEEP_OUT" "$MIN_DEEP_LAGS" "$MAX_RELERR" << 'EOF'
+import json
+import sys
+
+out, min_lags, max_relerr = sys.argv[1], float(sys.argv[2]), float(sys.argv[3])
+rec = json.loads(out)
+assert rec["deep"], "deep path did NOT dispatch (silent dispatch regression)"
+assert rec["lags_per_s"] >= min_lags, (
+    f"deep-chain regression: {rec['lags_per_s']:.3g} < {min_lags:.3g}")
+assert rec["rel_err"] <= max_relerr, (
+    f"deep-chain accuracy regression: {rec['rel_err']:.3g} > {max_relerr:.3g}")
+# tail lags are /(N-lag)-amplified even in pure f64 (see
+# tests/test_tpu_equivalence.py) — physical bound only
+assert rec["rel_err_tail"] <= 2e-9, (
+    f"deep-chain tail accuracy regression: {rec['rel_err_tail']:.3g} > 2e-9")
+print(f"DEEP GATE OK: {rec['lags_per_s']:.3g} lags/s, "
+      f"rel err {rec['rel_err']:.3g}")
+EOF
 
 echo "== bench gate (floor ${MIN_LAGS} lags/s, rel err <= ${MAX_RELERR}) =="
 OUT=$(python bench.py | tail -1)
