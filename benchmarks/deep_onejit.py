@@ -27,7 +27,6 @@ sys.path.insert(
 
 from transport_analysis_tpu.ops import deep_acf as DA
 from transport_analysis_tpu.ops import pallas_fft as PF
-import functools
 
 N = 1 << 20
 S = 255           # chunk=85 x d=3
@@ -38,30 +37,8 @@ W = -(-HALF // DA._DEEP_WT) * DA._DEEP_WT
 SUM_D = 0
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("inner", "outer", "w", "s", "n_out", "n_bands",
-                     "max_group", "sum_d"),
-    donate_argnums=(0,))
-def deep_chain_onejit(x, consts, tables, inner, outer, w, s, n_out,
-                      n_bands, max_group, sum_d):
-    pair = DA._prepare_pair(x, inner, outer, w, s)
-    pair = PF._fft_fwd_impl(pair, consts, n_bands=n_bands,
-                            max_group=max_group, wt=DA._DEEP_WT)
-    pair = DA._outer_level_pallas(
-        *pair, *tables, inner=inner, outer=outer, w=w,
-        n_bands=n_bands, max_group=max_group)
-    zp = DA._fwd_from_kernel_pair(*pair, inner=inner, outer=outer,
-                                  w=w)
-    pair = DA._unpack_to_pair(*zp, inner, outer, w)
-    pair = PF._fft_fwd_impl(pair, consts, n_bands=n_bands,
-                            max_group=max_group, wt=DA._DEEP_WT)
-    pair = DA._outer_level_pallas(
-        *pair, *tables, inner=inner, outer=outer, w=w,
-        n_bands=n_bands, max_group=max_group)
-    (out,) = DA._inv_from_kernel(*pair, inner=inner, outer=outer,
-                                 w=w, n_out=n_out, s=s, sum_d=sum_d)
-    return out
+# the production one-jit chain itself (DIF variant-B leg 2)
+deep_chain_onejit = DA._deep_chain_onejit
 
 
 def fence(x):

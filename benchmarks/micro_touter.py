@@ -1,8 +1,10 @@
 """Time the deep-chain stages at the north-star shape, on the chip.
 
-Stages (inner=65536, outer=32, w=128 — the N=2^20 rung):
+Stages (inner=16384, outer=128, w=128 — the N=2^20 rung's balanced
+split):
   a. _outer_level_pallas (fused twiddle + outer DFT, pair -> pair)
-  b. _fwd_from_kernel (corner turn to k-major f64)
+  b. _fwd_from_kernel_pair (corner turn to k-major — no longer in the
+     production chain; kept as the DIT-vs-DIF comparison point)
   c. engine fft_banded_pair alone (reference point)
 
 Historical note: the predecessor of stage (a) was an XLA f64 twiddle
@@ -31,7 +33,7 @@ sys.path.insert(
 from transport_analysis_tpu.ops import deep_acf as DA
 from transport_analysis_tpu.ops import pallas_fft as PF
 
-INNER, OUTER, W = 65536, 32, 128
+INNER, OUTER, W = 16384, 128, 128
 B = OUTER * W
 
 
@@ -113,11 +115,12 @@ timeit_big(
 )
 
 
-# e. _unpack_to_pair (k-major f32-pair spectra -> engine-layout pair)
+# e. _unpack_to_pair_dif (kernel-layout spectra -> kernel-layout
+# (p1 - i p2) pair, the DIF leg-2 operand — no corner turn)
 @jax.jit
 def _gen_z(seed):
-    r = jnp.arange(M, dtype=jnp.float32)[:, None]
-    c = jnp.arange(W, dtype=jnp.float32)[None, :]
+    r = jnp.arange(INNER, dtype=jnp.float32)[:, None]
+    c = jnp.arange(B, dtype=jnp.float32)[None, :]
     return (jnp.sin(r * 1e-3 + c * (1.0 + seed * 1e-3)),
             jnp.sin(r * 1.1e-3 + c) * 1e-9,
             jnp.cos(r * 2e-3 + c * (1.0 + seed * 1e-3)),
@@ -125,16 +128,29 @@ def _gen_z(seed):
 
 
 timeit_big(
-    "e. _unpack_to_pair",
-    lambda p: DA._unpack_to_pair(*p, inner=INNER, outer=OUTER, w=W),
+    "e. _unpack_to_pair_dif",
+    lambda p: DA._unpack_to_pair_dif(
+        *p, inner=INNER, outer=OUTER, w=W),
     gen=_gen_z,
 )
 
-# f. _inv_from_kernel (kernel-layout pair -> assembled (n_out, s))
+
+# f. trimmed leg-2 engine + _inv_from_kernel_dif (DIF epilogue)
+@jax.jit
+def _gen_half(seed):
+    rows = DA._dif_rows(INNER, OUTER, M // 2)
+    k = jax.random.PRNGKey(seed)
+    return tuple(
+        jax.random.normal(
+            jax.random.fold_in(k, i), (rows, B), jnp.float32)
+        for i in range(4))
+
+
 timeit_big(
-    "f. _inv_from_kernel",
-    lambda p: DA._inv_from_kernel(*p, inner=INNER, outer=OUTER, w=W,
-                                  n_out=M // 2, s=S),
+    "f. _inv_from_kernel_dif",
+    lambda p: DA._inv_from_kernel_dif(
+        *p, inner=INNER, outer=OUTER, w=W, n_out=M // 2, s=S),
+    gen=_gen_half,
 )
 
 # g. engine tile-width sweep: wt=128 means 16384 + 4096 grid steps of

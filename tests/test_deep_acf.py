@@ -22,10 +22,12 @@ from transport_analysis_tpu.ops import acf, deep_acf
 from transport_analysis_tpu.ops import pallas_fft as PF
 
 
-def exact_fft_banded_pair(pair, inverse=False, wt=None):
+def exact_fft_banded_pair(pair, inverse=False, wt=None, l2_rows=None):
     """Host-exact stand-in for pallas_fft.fft_banded_pair: complex FFT
     along axis 0 of (M, B) double-float pairs, natural frequency
-    order, same pair-packing contract."""
+    order, same pair-packing contract. ``l2_rows`` is accepted but
+    ignored — the DIF inverse leg's defensive row slice
+    (deep_acf._deep_fft_inv_dif) trims the same rows after."""
     re = np.asarray(pair[0], np.float64) + np.asarray(pair[1], np.float64)
     im = np.asarray(pair[2], np.float64) + np.asarray(pair[3], np.float64)
     z = re + 1j * im
@@ -47,9 +49,16 @@ class TestSupportGates:
         assert deep_acf.supported(1 << 18, 16) is False
 
     def test_split_m_table(self):
-        # inner must be engine-eligible, outer in [2, 256]
-        assert deep_acf._split_m(1 << 17) == (65536, 2)
-        assert deep_acf._split_m(1 << 18) == (65536, 4)
+        # inner must be engine-eligible, outer in [2, 256];
+        # BALANCED-first (16384 = 128*128) — the banded levels' MXU
+        # flops scale with contraction depth, so the smallest
+        # admissible inner wins (hardware: N=2^20 vacf leg
+        # 0.90 -> 0.77 s vs the historical large-inner order)
+        assert deep_acf._split_m(1 << 17) == (16384, 8)
+        assert deep_acf._split_m(1 << 18) == (16384, 16)
+        assert deep_acf._split_m(1 << 21) == (16384, 128)
+        # past inner*256 the larger inners take over
+        assert deep_acf._split_m(1 << 23) == (32768, 256)
         assert deep_acf._split_m(1 << 24) == (65536, 256)
         # beyond 2^24: no admissible cofactor
         assert deep_acf._split_m(1 << 25) == (None, None)
@@ -77,9 +86,9 @@ class TestCompositionAlgebra:
     @pytest.mark.parametrize("n_series", [3, 16])
     def test_matches_host_oracle(self, fake_engine, n_series):
         rng = np.random.default_rng(7)
-        n = 1 << 15  # M = 65536 -> inner 32768 x outer 2
+        n = 1 << 15  # M = 65536 -> inner 16384 x outer 4 (balanced)
         m = 2 * acf.next_pow_2(n)
-        assert deep_acf._split_m(m) == (32768, 2)
+        assert deep_acf._split_m(m) == (16384, 4)
         x = rng.standard_normal((n, n_series))
         xp = jnp.pad(jnp.asarray(x), ((0, m - n), (0, 0)))
         out = np.asarray(deep_acf.raw_autocorr_deep(xp, n))
@@ -92,9 +101,9 @@ class TestCompositionAlgebra:
         # (ceil(n_out/inner) rows) 1/M-prescaled inverse outer DFT
         rng = np.random.default_rng(23)
         n, s = 40000, 5
-        m = 2 * acf.next_pow_2(n)  # 131072
+        m = 2 * acf.next_pow_2(n)  # 131072 -> inner 16384 x outer 8
         inner, outer = deep_acf._split_m(m)
-        assert n < inner  # trim keeps a single outer row
+        assert n > inner  # trim keeps ceil(n/inner) = 3 outer rows
         x = rng.standard_normal((n, s))
         xp = jnp.pad(jnp.asarray(x), ((0, m - n), (0, 0)))
         out = np.asarray(deep_acf.raw_autocorr_deep(xp, n))
@@ -163,8 +172,9 @@ class TestUnpackPowerSlabs:
         rng = np.random.default_rng(5)
         w = 8
         inner, outer = m // 4, 4
-        zr = rng.standard_normal((m, w))
-        zi = rng.standard_normal((m, w))
+        # kernel-layout operands: (inner, w*outer), lanes (wc, k2)
+        zr = rng.standard_normal((inner, w * outer))
+        zi = rng.standard_normal((inner, w * outer))
 
         def pairs(z):
             from transport_analysis_tpu.ops import pallas_fft as PF
@@ -173,22 +183,20 @@ class TestUnpackPowerSlabs:
 
         zrh, zrl = pairs(zr)
         zih, zil = pairs(zi)
-        # straight-line reference (slab gate off: m <= _UNPACK_SLAB)
-        want = deep_acf._unpack_to_pair(
+        # straight-line reference (slab gate off: big _UNPACK_SLAB)
+        want = deep_acf._unpack_to_pair_dif(
             zrh, zrl, zih, zil, inner, outer, w)
         want = tuple(np.asarray(a) for a in want)
         monkeypatch.setattr(deep_acf, "_UNPACK_SLAB", slab)
-        # _UNPACK_SLAB is the row budget AT w=128; at the test's w=8
-        # the slab rows come out 16*slab/... — the small values above
-        # keep ll < m so the lax.map path traces. Pad a zero column so
-        # the jit cache (keyed on shapes/statics) can't reuse the
-        # unslabbed trace; columns are independent in the unpack
-        pad = np.zeros((m, 1))
+        # pad one zero wc-group (outer extra lanes) so the jit cache
+        # (keyed on shapes/statics) can't reuse the unslabbed trace;
+        # wc-groups are independent in the unpack
+        pad = np.zeros((inner, outer))
         zrh_p, zrl_p = pairs(np.concatenate([zr, pad], axis=1))
         zih_p, zil_p = pairs(np.concatenate([zi, pad], axis=1))
-        got = deep_acf._unpack_to_pair(
+        got = deep_acf._unpack_to_pair_dif(
             zrh_p, zrl_p, zih_p, zil_p, inner, outer, w + 1)
-        # undo the (w, j2)-lane engine layout, drop the pad column
+        # drop the pad wc-group
         got = tuple(
             np.asarray(a).reshape(inner, w + 1, outer)[:, :w, :]
             for a in got
@@ -272,7 +280,7 @@ class TestUnpackToPair:
     numpy float64."""
 
     @pytest.mark.parametrize("m,slabbed", [(256, False), (262144, True)])
-    def test_matches_reference_algebra(self, m, slabbed):
+    def test_matches_reference_algebra(self, m, slabbed, monkeypatch):
         from transport_analysis_tpu.ops import deep_acf as D
 
         w = 4
@@ -280,25 +288,38 @@ class TestUnpackToPair:
         rng = np.random.default_rng(11)
         from transport_analysis_tpu.ops import pallas_fft as PF
 
-        zrh, zrl = PF._split_pair(jnp.asarray(rng.normal(0, 3, (m, w))))
-        zih, zil = PF._split_pair(jnp.asarray(rng.normal(0, 3, (m, w))))
-        # reference algebra runs on exactly the f64 the stage
-        # reconstructs in-slab (hi + lo), so the comparison is exact
-        zr = np.asarray(zrh, np.float64) + np.asarray(zrl, np.float64)
-        zi = np.asarray(zih, np.float64) + np.asarray(zil, np.float64)
+        # raw m-indexed complex series, laid into KERNEL layout
+        # (element (k1, wc*outer + k2) = Z[k1 + inner*k2, wc])
+        zr_m = rng.normal(0, 3, (m, w))
+        zi_m = rng.normal(0, 3, (m, w))
+
+        def to_kernel(z):
+            return z.reshape(outer, inner, w).transpose(
+                1, 2, 0).reshape(inner, w * outer)
+
+        zrh, zrl = PF._split_pair(jnp.asarray(to_kernel(zr_m)))
+        zih, zil = PF._split_pair(jnp.asarray(to_kernel(zi_m)))
         if slabbed:
-            assert m % D._UNPACK_SLAB == 0  # exercises the lax.map path
-        rh, rl, ih, il = D._unpack_to_pair(
+            # shrink the row budget so the big case takes the
+            # fori_loop slab path against the same reference
+            monkeypatch.setattr(D, "_UNPACK_SLAB", 1024)
+
+        def unkernel(a):
+            # kernel layout -> m-major (m, w)
+            return np.asarray(a, np.float64).reshape(
+                inner, w, outer).transpose(2, 0, 1).reshape(m, w)
+
+        # reference algebra runs on exactly the f64 the stage
+        # reconstructs in-slab (hi + lo) — read BEFORE the call, the
+        # stage donates its inputs
+        zr = unkernel(zrh) + unkernel(zrl)
+        zi = unkernel(zih) + unkernel(zil)
+        rh, rl, ih, il = D._unpack_to_pair_dif(
             zrh, zrl, zih, zil, inner, outer, w
         )
 
-        def unturn(a):
-            # (inner, (w, j2)) engine layout -> k-major (m, w)
-            return np.asarray(a, np.float64).reshape(
-                inner, w, outer).swapaxes(1, 2).reshape(m, w)
-
-        got_re = unturn(rh) + unturn(rl)
-        got_im = unturn(ih) + unturn(il)
+        got_re = unkernel(rh) + unkernel(rl)
+        got_im = unkernel(ih) + unkernel(il)
 
         r_rev = np.roll(zr[::-1], 1, axis=0)
         i_rev = np.roll(zi[::-1], 1, axis=0)

@@ -73,8 +73,16 @@ def supported(m: int, s: int) -> bool:
 
 
 def _split_m(m: int):
-    """Largest in-engine inner length whose cofactor is <= _MAX_OUTER."""
-    for inner in (65536, 32768, 16384):
+    """Smallest in-engine inner length whose cofactor is <= _MAX_OUTER.
+
+    Preference order is BALANCED-first (16384 = 128*128 before the
+    larger inners): the banded levels' MXU flops scale with their
+    contraction depth (128 + n2 + outer per element), so at M = 2^21
+    the 128*128*128 split runs level 2 at 1/4 the int8 flops of the
+    historical 128*512*32 split. The large-inner order predates the
+    fused Pallas outer kernel, when the outer level was the expensive
+    stage (BENCH_NOTES round-5 lever 1)."""
+    for inner in (16384, 32768, 65536):
         if m % inner == 0 and _pf.shape_supported(inner, 2 * _pf._W_TILE):
             outer = m // inner
             if 2 <= outer <= _MAX_OUTER:
@@ -247,116 +255,131 @@ def _prepare_pair(x, inner: int, outer: int, w: int, s: int):
 _UNPACK_SLAB = 131072
 
 
+def _mirror_lanes(a, w: int, outer: int):
+    """Reverse the j2 lane groups: lane (wc, k2) -> (wc, outer-1-k2).
+    A static flip of the minor axis — no gathers."""
+    r = a.shape[0]
+    return a.reshape(r, w, outer)[:, :, ::-1].reshape(r, w * outer)
+
+
+def _mirror_lanes_row0(a, w: int, outer: int):
+    """The k1 = 0 mirror lane map k2 -> (outer - k2) % outer
+    (flip + roll of the minor axis)."""
+    r = a.shape[0]
+    a = a.reshape(r, w, outer)[:, :, ::-1]
+    return jnp.roll(a, 1, axis=2).reshape(r, w * outer)
+
+
 @functools.partial(
     jax.jit, static_argnames=("inner", "outer", "w"),
     donate_argnums=(0, 1, 2, 3),
 )
-def _unpack_to_pair(zrh, zrl, zih, zil, inner: int, outer: int,
-                    w: int):
+def _unpack_to_pair_dif(zrh, zrl, zih, zil, inner: int, outer: int,
+                        w: int):
     """Fused Hermitian unpack + power spectra + conjugate pair split,
-    k-major (M, w) f32-PAIR spectra → engine-layout (re_hi, re_lo,
-    im_hi, im_lo) of (p1 − i·p2), row-slabbed.
+    entirely in KERNEL LAYOUT (the DIF leg-2 form), row-slabbed.
 
-    Replaces the _unpack_power → _power_to_pair two-stage chain on
-    large transforms: that chain's peak stage held TWO full f64
-    spectra pairs (inputs + stacked outputs, 32·M·w bytes ≈ 8.6 GB at
-    M=2^21, w=128) and its successor another 8.6 GB — the margin that
-    made the N=2^20 north-star rung OOM nondeterministically. Fusing
-    emits the four f32 pair arrays directly, never materializing
-    full-M f64 power spectra. The inputs arrive as f32 pairs straight
-    from the pair corner turn (_fwd_from_kernel_pair); each slab
-    reconstructs f64 in VMEM-sized pieces (hi + lo, ~1e-16 relative —
-    far inside the 1e-11 contract), runs the identical f64 algebra,
-    and splits back at the end.
+    Input: the leg-1 outer kernel's output pair, four (inner,
+    w·outer) f32 arrays with element (k1, wc·outer + k2) =
+    Z[k1 + inner·k2]. Output: the SAME layout holding (p1 − i·p2) —
+    which is exactly the DIF inverse leg's engine operand
+    ((j1, (wc, j2)) = series index j1 + inner·j2), so the inter-leg
+    k-major corner turn (_fwd_from_kernel_pair, 25 ms/acf at the
+    N=2^20 rung) disappears from the chain.
 
-    Output row k needs input rows k and (M−k) mod M: each slab reads
-    its own contiguous slice plus the mirrored slice flipped, with the
-    single wrap row prepended (same access pattern as _unpack_power's
-    row-slab path).
+    Index algebra: the Hermitian mirror m → (M−m) mod M maps
+    (k1, k2) → (inner−k1, outer−1−k2) for k1 ≥ 1 and
+    (0, k2) → (0, (outer−k2) mod outer); both lane maps are static
+    flips/rolls of the j2 minor axis (_mirror_lanes /
+    _mirror_lanes_row0 — no gathers). Each slab reconstructs f64 in
+    VMEM-sized pieces (hi + lo, ~1e-16 relative — far inside the
+    1e-11 contract), runs the same f64 algebra as the historical
+    k-major unpack, and splits back to f32 pairs at the end.
 
-    Hermitian-output symmetry (round-6 lever): both power spectra of
-    the two packed REAL series satisfy p[M−k] = p[k] — f1r/f2r are
-    even and f1i/f2i odd in k by construction (the same two summands
-    commute / negate, which is EXACT in floating point), and squaring
-    kills the sign. The slabbed path therefore computes only rows
-    0..M/2 and mirrors rows M/2+1..M−1 as a flip copy: half the
-    direct+rev gather reads and half the f64 algebra + pair splits,
-    bit-identical output (asserted against the straight-line full-M
-    path in tests/test_deep_acf.py)."""
-    m, _ = zrh.shape
-    # slab ROWS scale inversely with width: the budget is ELEMENTS
-    # (_UNPACK_SLAB rows at the w=128 reference width). Each slab
-    # processes ll+1 rows (its block plus the one-row mirror overlap),
-    # holds ~6 live (ll+1, w) f64 temps through the algebra, and emits
-    # 8 turned f32 parts (4 firsts + 4 mirrors) — half the slab count
-    # of the pre-symmetry path, so the per-slab element budget is
-    # unchanged. A fixed row count OOMed the N=2^17 × chunk=682 rung,
-    # where w=1024 made each temp 8× larger.
-    def turn(a, rows):
-        # rows consecutive j = j1*outer + j2 -> lanes (w, j2)
-        return a.reshape(rows // outer, outer, w).swapaxes(
-            1, 2).reshape(rows // outer, w * outer)
-
+    Hermitian-output symmetry: both power spectra of the two packed
+    REAL series satisfy p[M−m] = p[m] — f1r/f2r are even and f1i/f2i
+    odd in m by construction (the same two summands commute / negate,
+    which is EXACT in floating point), and squaring kills the sign.
+    The slabbed path therefore computes only rows k1 ≤ inner/2 and
+    writes rows inner/2+1..inner−1 as row-flipped, lane-mirrored
+    copies: half the direct+rev reads and half the f64 algebra +
+    pair splits, bit-identical output (asserted against the
+    straight-line path in tests/test_deep_acf.py)."""
     f64 = jnp.float64
+    cols = zrh.shape[1]
 
-    ll = max(1, _UNPACK_SLAB * 128 // max(w, 1))
-    ll = 1 << (ll.bit_length() - 1)  # pow2 floor divides pow2 m
-    ll = max(ll, outer)
-    if m % ll or m <= ll:
+    # slab ROWS scale inversely with width: the budget is ELEMENTS
+    # (_UNPACK_SLAB rows at the w=128 reference width, rows here are
+    # w·outer wide). Each slab processes ll+1 rows (its block plus
+    # the one-row mirror overlap), holds ~6 live (ll+1, cols) f64
+    # temps through the algebra, and emits 8 f32 parts (4 firsts +
+    # 4 mirrors).
+    ll = max(1, _UNPACK_SLAB * 128 // max(cols, 1))
+    ll = 1 << (ll.bit_length() - 1)  # pow2 floor divides pow2 inner
+    if inner % ll or inner <= ll:
         zr = zrh.astype(f64) + zrl.astype(f64)
         zi = zih.astype(f64) + zil.astype(f64)
-        r_rev = jnp.roll(jnp.flip(zr, axis=0), 1, axis=0)
-        i_rev = jnp.roll(jnp.flip(zi, axis=0), 1, axis=0)
+
+        def rev(z):
+            # row k1 -> (inner-k1) mod inner, j2 -> outer-1-j2 ...
+            r = _mirror_lanes(
+                jnp.roll(jnp.flip(z, axis=0), 1, axis=0), w, outer)
+            # ... except the k1 = 0 row, whose mirror stays in row 0
+            # with the (outer - k2) mod outer lane map
+            r0 = _mirror_lanes_row0(z[:1], w, outer)
+            return jnp.concatenate([r0, r[1:]], axis=0)
+
+        r_rev = rev(zr)
+        i_rev = rev(zi)
         f1r = 0.5 * (zr + r_rev)
         f1i = 0.5 * (zi - i_rev)
         f2r = 0.5 * (zi + i_rev)
         f2i = 0.5 * (r_rev - zr)
         rh, rl = _pf._split_pair(f1r * f1r + f1i * f1i)
         ih, il = _pf._split_pair(-(f2r * f2r + f2i * f2i))
-        return tuple(
-            turn(a, m).reshape(inner, w * outer)
-            for a in (rh, rl, ih, il)
-        )
+        return rh, rl, ih, il
 
-    # the mirror alignment below needs pow2 m (ll is a pow2, so
-    # ll <= half and half % ll == 0 follow); _split_m can accept a
-    # non-pow2 outer, but only supported() — which enforces pow2 —
-    # gates production dispatch, so make the precondition loud here
-    assert m & (m - 1) == 0, f"slabbed unpack requires pow2 M, got {m}"
-    half = m // 2
+    # the mirror alignment below needs pow2 inner (ll is a pow2, so
+    # ll <= inner/2 and (inner/2) % ll == 0 follow); only
+    # supported() — which enforces pow2 M — gates production
+    # dispatch, so make the precondition loud here
+    assert inner & (inner - 1) == 0, (
+        f"slabbed unpack requires pow2 inner, got {inner}")
+    half = inner // 2
 
     # Each slab runs the algebra on rows a..a+ll (ONE extra row) and
-    # writes two turned blocks STRAIGHT into the preallocated outputs
-    # via in-place dynamic_update_slice on the fori_loop carries: its
-    # first-half block [a, a+ll) and its own mirror block —
-    # p[m-k] = p[k] puts the mirrors of k in (a, a+ll] at raw output
-    # rows [m-a-ll, m-a), which is ll-aligned, so the in-slab
-    # raw-space flip turns cleanly (no lane permutes, no full-array
-    # transpose) and each update is a static-size slice at a dynamic
-    # row. The Nyquist row k = half rides the last slab's extra row
-    # through the general formula (f1i/f2i vanish exactly there, so
-    # the algebra is bit-equal to its special case). Writing through
-    # the loop carries (instead of stacking lax.map results and
-    # flip+concatenating them) removes a full-size copy per output
-    # and the stacked intermediate's transient HBM.
+    # writes two blocks STRAIGHT into the preallocated outputs via
+    # in-place dynamic_update_slice on the fori_loop carries: its
+    # first-half block [a, a+ll) verbatim and its mirror block
+    # (rows inner-a-ll..inner-a-1 = the row-flipped, lane-mirrored
+    # rows (a, a+ll]). The row inner/2 rides the last slab's extra
+    # row through the general formula (its mirror is itself,
+    # lane-mirrored — exact by the evenness argument above).
     def slab(a0):
         a = a0 * ll
 
         def direct(h, l):
-            hs = jax.lax.dynamic_slice(h, (a, 0), (ll + 1, w))
-            ls = jax.lax.dynamic_slice(l, (a, 0), (ll + 1, w))
+            hs = jax.lax.dynamic_slice(h, (a, 0), (ll + 1, cols))
+            ls = jax.lax.dynamic_slice(l, (a, 0), (ll + 1, cols))
             return hs.astype(f64) + ls.astype(f64)
 
         def rev(h, l):
             def cut(z):
                 tail = jax.lax.dynamic_slice(
-                    z, (m - a - ll, 0), (ll, w))
+                    z, (inner - a - ll, 0), (ll, cols))
                 head = jax.lax.dynamic_slice(
-                    z, ((m - a) % m, 0), (1, w))
+                    z, ((inner - a) % inner, 0), (1, cols))
                 return jnp.concatenate(
                     [head, jnp.flip(tail, axis=0)], axis=0)
 
-            return cut(h).astype(f64) + cut(l).astype(f64)
+            zz = _mirror_lanes(
+                cut(h).astype(f64) + cut(l).astype(f64), w, outer)
+            # slab 0's head row is k1 = 0: swap in its special lane
+            # map (one (1, cols) select — negligible)
+            h0 = _mirror_lanes_row0(
+                h[:1].astype(f64) + l[:1].astype(f64), w, outer)
+            fixed = jnp.where(a0 == 0, h0, zz[:1])
+            return jnp.concatenate([fixed, zz[1:]], axis=0)
 
         zs = direct(zrh, zrl)
         is_ = direct(zih, zil)
@@ -368,27 +391,25 @@ def _unpack_to_pair(zrh, zrl, zih, zil, inner: int, outer: int,
         f2i = 0.5 * (r_rev - zs)
         rh, rl = _pf._split_pair(f1r * f1r + f1i * f1i)
         ih, il = _pf._split_pair(-(f2r * f2r + f2i * f2i))
-        firsts = tuple(turn(a_[:ll], ll) for a_ in (rh, rl, ih, il))
+        firsts = tuple(a_[:ll] for a_ in (rh, rl, ih, il))
         mirrors = tuple(
-            turn(jnp.flip(a_[1:], axis=0), ll)
+            _mirror_lanes(jnp.flip(a_[1:], axis=0), w, outer)
             for a_ in (rh, rl, ih, il))
         return firsts + mirrors
-
-    llt = ll // outer
 
     def body(a0, outs):
         parts = slab(a0)
         new = []
         for i in range(4):
             o = jax.lax.dynamic_update_slice(
-                outs[i], parts[i], (a0 * llt, 0))
+                outs[i], parts[i], (a0 * ll, 0))
             o = jax.lax.dynamic_update_slice(
-                o, parts[4 + i], (inner - (a0 + 1) * llt, 0))
+                o, parts[4 + i], (inner - (a0 + 1) * ll, 0))
             new.append(o)
         return tuple(new)
 
     init = tuple(
-        jnp.zeros((inner, w * outer), jnp.float32) for _ in range(4))
+        jnp.zeros((inner, cols), jnp.float32) for _ in range(4))
     return jax.lax.fori_loop(0, half // ll, body, init)
 
 
@@ -432,40 +453,17 @@ def _slice_pair_cols_into(ref, lane: int, pos, hi, lo,
         ri = ri - mi * g
 
 
-def _outer_kernel_body(n_bands: int, max_group: int, lane: int,
-                       rre_ref, rim_ref,
-                       rh_ref, rl_ref, ih_ref, il_ref,
-                       tch_ref, tcl_ref, tsh_ref, tsl_ref,
-                       orh_ref, orl_ref, oih_ref, oil_ref,
-                       lhs_scratch):
-    """Fused twiddle + outer DFT on one (rows, L) block.
-
-    The engine's double-float pair is twiddled IN PAIR ARITHMETIC
-    (Dekker products — never a float64 op, Mosaic is f32-only), scaled
-    per ROW by an exact power of two, band-sliced into the int8 lhs
-    scratch (data is the LHS here; the tiny block-diagonal DFT is the
-    constant RHS), contracted with one exact int8 MXU product per
-    significance group, merged, and unscaled. An extra (n_bands+1)-th
-    data band pairs with the rhs's leading band to absorb the scale
-    slack of lanes quieter than their row's loudest lane (same trick
-    as the engine's fused power-spectrum slicing)."""
-    rh, rl = rh_ref[:], rl_ref[:]
-    ih, il = ih_ref[:], il_ref[:]
-    tch, tcl = tch_ref[:], tcl_ref[:]
-    tsh, tsl = tsh_ref[:], tsl_ref[:]
-
-    # (r + i*i_) * (tc + i*ts): tr = r*tc - i*ts, ti = r*ts + i*tc
+def _df_twiddle(rh, rl, ih, il, tch, tcl, tsh, tsl):
+    """Complex multiply by the unit twiddle (tc + i·ts) on double-float
+    pairs: tr = r*tc - i*ts, ti = r*ts + i*tc. On hardware this is
+    Dekker pair arithmetic (Mosaic is f32-only); in interpret mode it
+    runs in native f64 — XLA:CPU's LLVM backend contracts mul+add
+    chains into FMAs inside fused loops, which silently breaks the
+    error-free transforms (the f32 rounding of a*b never happens,
+    ~2^-24 of the product leaks). Interpret mode = CPU tests only,
+    where native f64 is exact; Mosaic preserves the pair arithmetic
+    1:1 (TPU-hardware-validated at 1.7e-13)."""
     if _pf._interpret():
-        # XLA:CPU's LLVM backend contracts mul+add chains into FMAs
-        # inside fused loops, which silently breaks the Dekker/TwoSum
-        # error-free transforms below (hardware-measured: the f32
-        # rounding of a*b simply never happens, ~2^-24 of the product
-        # leaks). Interpret mode = CPU tests only, where native f64 is
-        # available and exact; Mosaic preserves the pair arithmetic
-        # 1:1 (the engine's identical EFTs are TPU-hardware-validated
-        # at 1.7e-13). Pow2-scaled products (band slicing, _merge)
-        # are contraction-safe everywhere — fma(x, 2^-k, y) rounds
-        # identically because the product is exact.
         f64 = jnp.float64
         r64 = rh.astype(f64) + rl.astype(f64)
         i64 = ih.astype(f64) + il.astype(f64)
@@ -484,9 +482,44 @@ def _outer_kernel_body(n_bands: int, max_group: int, lane: int,
         cr, cl = _df_mul(rh, rl, tsh, tsl)
         dr, dl = _df_mul(ih, il, tch, tcl)
         ti_h, ti_l = _pf._df_add(cr, cl, dr, dl)
+    return tr_h, tr_l, ti_h, ti_l
+
+
+def _outer_kernel_body(n_bands: int, max_group: int, lane: int,
+                       dif: bool,
+                       rre_ref, rim_ref,
+                       rh_ref, rl_ref, ih_ref, il_ref,
+                       tch_ref, tcl_ref, tsh_ref, tsl_ref,
+                       orh_ref, orl_ref, oih_ref, oil_ref,
+                       lhs_scratch):
+    """Fused twiddle + outer DFT on one (rows, L) block.
+
+    The engine's double-float pair is twiddled IN PAIR ARITHMETIC
+    (Dekker products — never a float64 op, Mosaic is f32-only), scaled
+    per ROW by an exact power of two, band-sliced into the int8 lhs
+    scratch (data is the LHS here; the tiny block-diagonal DFT is the
+    constant RHS), contracted with one exact int8 MXU product per
+    significance group, merged, and unscaled. An extra (n_bands+1)-th
+    data band pairs with the rhs's leading band to absorb the scale
+    slack of lanes quieter than their row's loudest lane (same trick
+    as the engine's fused power-spectrum slicing).
+
+    ``dif`` = decimation-in-frequency order: the DFT contracts FIRST
+    and the twiddle multiplies the merged result (the deep inverse
+    leg's factorization — Y[n1*outer+n2] needs the outer DFT over k2
+    before the W_M^(k1 n2) twiddle; same tables, same rhs since
+    DFT_outer is symmetric)."""
+    rh, rl = rh_ref[:], rl_ref[:]
+    ih, il = ih_ref[:], il_ref[:]
+    tch, tcl = tch_ref[:], tcl_ref[:]
+    tsh, tsl = tsh_ref[:], tsl_ref[:]
+
+    if not dif:
+        rh, rl, ih, il = _df_twiddle(
+            rh, rl, ih, il, tch, tcl, tsh, tsl)
 
     s = _pf._pow2_ceil_f32(jnp.max(
-        jnp.maximum(jnp.abs(tr_h), jnp.abs(ti_h)),
+        jnp.maximum(jnp.abs(rh), jnp.abs(ih)),
         axis=1, keepdims=True))
     inv = 1.0 / s
 
@@ -496,7 +529,7 @@ def _outer_kernel_body(n_bands: int, max_group: int, lane: int,
     pos = [n_bands - q for q in range(n_bands + 1)]
     _slice_pair_cols_into(
         lhs_scratch, lane, pos,
-        (tr_h * inv, tr_l * inv), (ti_h * inv, ti_l * inv))
+        (rh * inv, rl * inv), (ih * inv, il * inv))
 
     k_slab = 2 * lane
     k_total = k_slab * (n_bands + 1)
@@ -523,22 +556,30 @@ def _outer_kernel_body(n_bands: int, max_group: int, lane: int,
 
     re_hi, re_lo = _pf._merge(dots(rre_ref))
     im_hi, im_lo = _pf._merge(dots(rim_ref))
-    orh_ref[:] = re_hi * s
-    orl_ref[:] = re_lo * s
-    oih_ref[:] = im_hi * s
-    oil_ref[:] = im_lo * s
+    re_hi, re_lo = re_hi * s, re_lo * s
+    im_hi, im_lo = im_hi * s, im_lo * s
+    if dif:
+        re_hi, re_lo, im_hi, im_lo = _df_twiddle(
+            re_hi, re_lo, im_hi, im_lo, tch, tcl, tsh, tsl)
+    orh_ref[:] = re_hi
+    orl_ref[:] = re_lo
+    oih_ref[:] = im_hi
+    oil_ref[:] = im_lo
 
 
 @functools.partial(
     jax.jit, static_argnames=("inner", "outer", "w", "n_bands",
-                              "max_group"),
+                              "max_group", "dif"),
     donate_argnums=(0, 1, 2, 3))
 def _outer_level_pallas(rh, rl, ih, il, tch, tcl, tsh, tsl,
                         rhs_re, rhs_im, inner: int, outer: int,
-                        w: int, n_bands: int, max_group: int):
+                        w: int, n_bands: int, max_group: int,
+                        dif: bool = False):
     """Run the fused twiddle+outer kernel over the (inner, w*outer)
     engine output pair (lanes (w, j2)); emits the spectrum pair in the
-    same layout with lanes (w, k2)."""
+    same layout with lanes (w, k2). ``dif`` selects the
+    decimation-in-frequency stage order (outer DFT first, twiddle
+    after) used by the deep inverse leg — see _outer_kernel_body."""
     lane, wg = _outer_lane(outer)
     rows = min(_OUTER_ROWS, inner)
     n_r = inner // rows
@@ -552,7 +593,8 @@ def _outer_level_pallas(rh, rl, ih, il, tch, tcl, tsh, tsl,
                             memory_space=pltpu.VMEM)
     f32 = jnp.float32
     outs = pl.pallas_call(
-        functools.partial(_outer_kernel_body, n_bands, max_group, lane),
+        functools.partial(_outer_kernel_body, n_bands, max_group, lane,
+                          dif),
         grid=(n_r, n_l),
         in_specs=[rhs_spec, rhs_spec] + [data_spec] * 4 + [tw_spec] * 4,
         out_specs=(data_spec,) * 4,
@@ -609,17 +651,29 @@ def _fwd_from_kernel_pair(rh, rl, ih, il, inner: int, outer: int,
     return mv(rh), mv(rl), mv(ih), mv(il)
 
 
+def _dif_rows(inner: int, outer: int, n_out: int) -> int:
+    """Engine output rows the DIF inverse leg must keep: output index
+    n = n1·outer + n2 < n_out needs n1 <= (n_out-1)//outer, rounded
+    up to the engine's 128-row level-2 granularity."""
+    need = -(-n_out // outer)
+    return min(inner, -(-need // 128) * 128)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("inner", "outer", "w", "n_out", "s", "sum_d"),
     donate_argnums=(0, 1, 2, 3))
-def _inv_from_kernel(rh, rl, ih, il, inner: int, outer: int, w: int,
-                     n_out: int, s: int, sum_d: int = 0):
-    """Kernel layout -> the assembled (n_out, s) autocorrelation:
-    lane-trims k2 >= ceil(n_out/inner) BEFORE the corner turn (half
-    the transpose traffic for the usual n_out = M/2), applies the
-    exact power-of-two 1/M, and packs [re, -im] (the two-for-one
-    real-series unpacking of the conjugation-trick inverse).
+def _inv_from_kernel_dif(rh, rl, ih, il, inner: int, outer: int,
+                         w: int, n_out: int, s: int, sum_d: int = 0):
+    """DIF kernel layout -> the assembled (n_out, s) autocorrelation.
+
+    The inverse leg's engine transform arrives row-trimmed (l2_rows:
+    only n1 < _dif_rows(...) were computed), element (n1, wc·outer +
+    n2) = Y[n1·outer + n2]·M. The epilogue relayouts (n1, wc, n2) →
+    (n1, n2, wc) (touching only the kept ~half of the spectrum),
+    applies the exact power-of-two 1/M, and packs [re, -im] (the
+    two-for-one real-series unpacking of the conjugation-trick
+    inverse).
 
     ``sum_d`` > 0 additionally sums groups of ``sum_d`` adjacent
     series columns (the per-particle component sum of the (N, P, d)
@@ -627,14 +681,14 @@ def _inv_from_kernel(rh, rl, ih, il, inner: int, outer: int, w: int,
     directly instead of materializing the (n_out, s) f64 array for a
     separate reduce pass (same f64 summation order as
     jnp.sum(out.reshape(n_out, -1, sum_d), axis=-1))."""
-    nr = -(-n_out // inner)
+    rows = rh.shape[0]
     inv_m = 1.0 / (inner * outer)
 
     def conv(h, l):
-        h = h.reshape(inner, w, outer)[:, :, :nr]
-        l = l.reshape(inner, w, outer)[:, :, :nr]
-        h = jnp.moveaxis(h, 2, 0).reshape(nr * inner, w)[:n_out]
-        l = jnp.moveaxis(l, 2, 0).reshape(nr * inner, w)[:n_out]
+        h = h.reshape(rows, w, outer).swapaxes(1, 2)
+        l = l.reshape(rows, w, outer).swapaxes(1, 2)
+        h = h.reshape(rows * outer, w)[:n_out]
+        l = l.reshape(rows * outer, w)[:n_out]
         return (h.astype(jnp.float64) + l.astype(jnp.float64)) * inv_m
 
     out = jnp.concatenate([conv(rh, rl), -conv(ih, il)], axis=1)[:, :s]
@@ -644,18 +698,19 @@ def _inv_from_kernel(rh, rl, ih, il, inner: int, outer: int, w: int,
 
 
 def _deep_fft_fwd_pair(pair, inner: int, outer: int, w: int,
-                       n_out: int = None, s: int = None,
-                       as_pair: bool = False, sum_d: int = 0,
+                       as_pair: bool = False, raw_pair: bool = False,
                        profile=None):
-    """Forward FFT via engine + fused outer-level kernel. ``pair`` is
-    the complex double-float (re_hi, re_lo, im_hi, im_lo), each
-    (inner, w*outer) float32 with lanes (w, j2) — DONATED to the
-    engine, so callers must drop their f64 sources before calling
-    (HBM peak discipline). float64 out.
+    """Forward FFT via engine + fused outer-level kernel (the DIT
+    leg). ``pair`` is the complex double-float (re_hi, re_lo, im_hi,
+    im_lo), each (inner, w*outer) float32 with lanes (w, j2) —
+    DONATED to the engine, so callers must drop their f64 sources
+    before calling (HBM peak discipline).
 
-    With ``n_out``/``s`` set (the inverse-by-conjugation leg of the
-    autocorrelation), the epilogue lane-trims k2, folds the 1/M, and
-    emits the assembled (n_out, s) result directly."""
+    Output: k-major (M, w) float64 spectra by default; ``as_pair``
+    keeps the k-major corner turn in f32 pairs; ``raw_pair`` skips
+    the corner turn entirely and returns the kernel-layout pair
+    (element (k1, (wc, k2)) = Y[k1 + inner·k2]) — the DIF leg-2
+    operand form."""
     # one profile for both levels: the engine reads it internally,
     # the outer kernel takes it as statics (same 7-bit band grid);
     # float32 inputs ride the lighter 4-band profile
@@ -668,13 +723,38 @@ def _deep_fft_fwd_pair(pair, inner: int, outer: int, w: int,
                                outer=outer, w=w, n_bands=n_bands,
                                max_group=max_group)
     pair = _fence(*pair, tag="outer")
-    if n_out is not None:
-        return _inv_from_kernel(*pair, inner=inner, outer=outer, w=w,
-                                n_out=n_out, s=s, sum_d=sum_d)
+    if raw_pair:
+        return pair
     if as_pair:
         return _fwd_from_kernel_pair(*pair, inner=inner, outer=outer,
                                      w=w)
     return _fwd_from_kernel(*pair, inner=inner, outer=outer, w=w)
+
+
+def _deep_fft_inv_dif(pair, inner: int, outer: int, w: int,
+                      n_out: int, s: int, sum_d: int = 0,
+                      profile=None):
+    """The DIF inverse-by-conjugation leg: outer DFT + post-twiddle
+    FIRST (dif=True), inner engine transform second (level 2 trimmed
+    to the kept rows), fused assembly epilogue. ``pair`` is the
+    kernel-layout (p1 − i·p2) from _unpack_to_pair_dif — DONATED."""
+    n_bands, max_group = (profile if profile is not None
+                          else _pf._profile(jnp.float64))
+    tables = _outer_kernel_tables(inner, outer, n_bands)
+    pair = _outer_level_pallas(*pair, *tables, inner=inner,
+                               outer=outer, w=w, n_bands=n_bands,
+                               max_group=max_group, dif=True)
+    pair = _fence(*pair, tag="outer_dif")
+    rows = _dif_rows(inner, outer, n_out)
+    pair = _pf.fft_banded_pair(pair, wt=_DEEP_WT,
+                               l2_rows=rows // 128)
+    # the engine trims level 2 itself; the defensive slice below is a
+    # no-op there and keeps the CPU fake-engine stand-in (a plain
+    # host FFT that ignores l2_rows) on the same output contract
+    pair = tuple(a[:rows] for a in pair)
+    pair = _fence(*pair, tag="engine_inv")
+    return _inv_from_kernel_dif(*pair, inner=inner, outer=outer, w=w,
+                                n_out=n_out, s=s, sum_d=sum_d)
 
 
 # fence eager stages once the working set is big enough that letting
@@ -753,15 +833,23 @@ def _deep_chain_onejit(x, consts, tables, inner, outer, w, s, n_out,
     pair = _outer_level_pallas(
         *pair, *tables, inner=inner, outer=outer, w=w,
         n_bands=n_bands, max_group=max_group)
-    zp = _fwd_from_kernel_pair(*pair, inner=inner, outer=outer, w=w)
-    pair = _unpack_to_pair(*zp, inner, outer, w)
-    pair = _pf._fft_fwd_impl(pair, consts, n_bands=n_bands,
-                             max_group=max_group, wt=_DEEP_WT)
+    # leg 2 runs DECIMATION-IN-FREQUENCY (outer DFT + post-twiddle
+    # first, engine second, output index n = n1·outer + n2): the
+    # leg-1 kernel layout IS the DIF leg-2 operand layout (element
+    # (k1, (wc, k2)) = Z[k1 + inner·k2] both ways), so the inter-leg
+    # corner turn vanishes, and keeping only n < n_out trims the
+    # leg-2 engine's level 2 to the first _dif_rows rows — half its
+    # int8 flops and write traffic for the usual n_out = M/2.
+    pair = _unpack_to_pair_dif(*pair, inner, outer, w)
     pair = _outer_level_pallas(
         *pair, *tables, inner=inner, outer=outer, w=w,
-        n_bands=n_bands, max_group=max_group)
-    (out,) = _inv_from_kernel(*pair, inner=inner, outer=outer,
-                              w=w, n_out=n_out, s=s, sum_d=sum_d)
+        n_bands=n_bands, max_group=max_group, dif=True)
+    rows = _dif_rows(inner, outer, n_out)
+    pair = _pf._fft_fwd_impl(pair, consts, n_bands=n_bands,
+                             max_group=max_group, wt=_DEEP_WT,
+                             l2_rows=rows // 128)
+    (out,) = _inv_from_kernel_dif(*pair, inner=inner, outer=outer,
+                                  w=w, n_out=n_out, s=s, sum_d=sum_d)
     return out
 
 
@@ -855,23 +943,24 @@ def raw_autocorr_deep(x, n_out: int, m: int = None,
     del x  # donated to _prepare_pair
 
     zp = _fence(
-        *_deep_fft_fwd_pair(pair, inner, outer, w, as_pair=True,
+        *_deep_fft_fwd_pair(pair, inner, outer, w, raw_pair=True,
                             profile=(n_bands, max_group)),
         tag="fwd")
     del pair
-    # fused unpack + power + conjugate pair split: the inverse of
-    # (p1 + i p2) runs through the forward machinery on (p1 - i p2);
-    # neither full-M f64 spectra nor power spectra are materialized
-    # (the corner turn stays in f32 pairs; f64 only inside the slabs)
-    pair = _fence(*_unpack_to_pair(*zp, inner, outer, w),
+    # fused unpack + power + conjugate pair split IN KERNEL LAYOUT:
+    # the inverse of (p1 + i p2) runs through the forward machinery
+    # on (p1 - i p2); neither full-M f64 spectra nor power spectra
+    # are materialized, and the DIF leg-2 consumes the kernel layout
+    # directly (no inter-leg corner turn; f64 only inside the slabs)
+    pair = _fence(*_unpack_to_pair_dif(*zp, inner, outer, w),
                   tag="unpack_to_pair")
     del zp
-    # inverse-by-conjugation leg: row-trimmed outer DFT with the 1/M
-    # scale folded into the (tiny) DFT matrices, epilogue fused in
+    # DIF inverse-by-conjugation leg: outer DFT + post-twiddle, then
+    # the level-2-trimmed engine, fused assembly epilogue
     (out,) = _fence(
-        *_deep_fft_fwd_pair(pair, inner, outer, w, n_out=n_out, s=s,
-                            sum_d=sum_d,
-                            profile=(n_bands, max_group)),
+        *_deep_fft_inv_dif(pair, inner, outer, w, n_out=n_out, s=s,
+                           sum_d=sum_d,
+                           profile=(n_bands, max_group)),
         tag="inv")
     del pair
     if _HBM_DEBUG:

@@ -840,17 +840,26 @@ def _raw_autocorr_impl(x, consts, n_out: int,
 # ---------------------------------------------------------------------
 
 @functools.partial(
-    jax.jit, static_argnames=("n_bands", "max_group", "wt"),
+    jax.jit, static_argnames=("n_bands", "max_group", "wt", "l2_rows"),
     donate_argnums=(0,))
 def _fft_fwd_impl(pair, consts, n_bands: int = _N_BANDS,
-                  max_group: int = None, wt: int = _W_TILE):
+                  max_group: int = None, wt: int = _W_TILE,
+                  l2_rows: int = None):
     """Forward banded FFT along axis 0 of complex (M, B) double-float
     pairs, NATURAL frequency order out. B must be a multiple of
-    _W_TILE. Same two fused kernels as the autocorrelation path."""
+    _W_TILE. Same two fused kernels as the autocorrelation path.
+
+    ``l2_rows`` trims level 2 to its first ``l2_rows`` output rows
+    (frequencies k < l2_rows*128): callers that discard the upper half
+    of the spectrum — the deep composition's final (DIF) transform
+    keeps only lags < M/2 — skip half the level's int8 flops and write
+    traffic instead of slicing afterwards."""
     rh = pair[0]
     m, w = rh.shape
     n2 = m // _N1
     n_w = w // wt
+    if l2_rows is None:
+        l2_rows = n2
     pair = tuple(a.reshape(_N1, n2 * w) for a in pair)
     s_in = _pow2_ceil_f32(jnp.maximum(
         jnp.max(jnp.abs(pair[0]), axis=0, keepdims=True),
@@ -862,22 +871,29 @@ def _fft_fwd_impl(pair, consts, n_bands: int = _N_BANDS,
         jnp.maximum(jnp.abs(pair[0]), jnp.abs(pair[2])),
         axis=0).reshape(1, _N1 * w))
     pair = tuple(a.reshape(n2, _N1 * w) for a in pair)
-    pair, _ = _banded_level(consts["l2_re"], consts["l2_im"], pair,
-                            s1, n2, False, n_w,
+    l2_re, l2_im = consts["l2_re"], consts["l2_im"]
+    if l2_rows < n2:
+        l2_re = l2_re[:, :l2_rows, :]
+        l2_im = l2_im[:, :l2_rows, :]
+    pair, _ = _banded_level(l2_re, l2_im, pair,
+                            s1, l2_rows, False, n_w,
                             n_bands=n_bands, max_group=max_group, wt=wt)
     # rows k2, cols (k1, w): frequency k = k2*128 + k1 — merging
     # (k2, k1) after the trailing split is exactly k-major
     return tuple(
-        a.reshape(n2, _N1, w).reshape(m, w) for a in pair)
+        a.reshape(l2_rows, _N1, w).reshape(l2_rows * _N1, w)
+        for a in pair)
 
 
-def fft_banded_pair(pair, inverse: bool = False, wt: int = _W_TILE):
+def fft_banded_pair(pair, inverse: bool = False, wt: int = _W_TILE,
+                    l2_rows: int = None):
     """Complex FFT along axis 0 of (M, B) double-float pairs
     (re_hi, re_lo, im_hi, im_lo), M = 128*n2 with shape_supported-range
     n2, B % wt == 0 (wt a multiple of 128; smaller tiles trade grid
     steps for HBM headroom — the input pair is DONATED). Natural
     frequency order; the inverse includes the 1/M scale (conjugation
-    trick — forward kernels only)."""
+    trick — forward kernels only). ``l2_rows`` (forward only) keeps
+    only frequencies k < l2_rows*128 — see _fft_fwd_impl."""
     rh = pair[0]
     m = rh.shape[0]
     n2 = m // _N1
@@ -887,7 +903,7 @@ def fft_banded_pair(pair, inverse: bool = False, wt: int = _W_TILE):
     if inverse:
         pair = (pair[0], pair[1], -pair[2], -pair[3])
     out = _fft_fwd_impl(pair, consts, n_bands=n_bands,
-                        max_group=max_group, wt=wt)
+                        max_group=max_group, wt=wt, l2_rows=l2_rows)
     if inverse:
         inv_m = np.float32(1.0 / m)
         out = (out[0] * inv_m, out[1] * inv_m,
