@@ -116,14 +116,32 @@ def load_aux(spool_dir: str, field: str) -> dict:
         return {k: z[k] for k in z.files}
 
 
+def device_f64(block):
+    """Ship a float32 spool block to the default device and upcast
+    THERE: half the host→device bytes of a host-side f64 cast. This
+    is the feed-budget term of the north-star plan (BENCH_NOTES "feed
+    plan"): the 100k×1M chunk stream is 2.4 TB as f32 and would be
+    4.8 TB shipped as host-cast f64."""
+    import jax
+    import jax.numpy as jnp
+
+    return jnp.asarray(jax.device_put(block), jnp.float64)
+
+
 def correlate_spools(
     kernel,
     paths: Sequence[str],
     n_particles: int,
     checkpoint: Optional[str] = None,
+    prefetch: bool = True,
 ) -> np.ndarray:
     """Pass 2: run ``kernel((N, chunk, d)) → (L, chunk)`` over each
-    spool and return the particle-mean timeseries (L,)."""
+    spool and return the particle-mean timeseries (L,).
+
+    ``prefetch`` reads spool c+1 on a background thread while the
+    device correlates chunk c — the sequential disk read rides inside
+    the chunk wall instead of after it (steady-state feed of the
+    north-star plan; host RAM holds at most two chunks)."""
     acc = None
     start = 0
     if checkpoint and os.path.exists(checkpoint):
@@ -132,9 +150,31 @@ def correlate_spools(
             acc = state["acc"]
             start = int(state["next_spool"])
 
-    for c in range(start, len(paths)):
-        block = np.load(paths[c], mmap_mode="r")
-        result = np.asarray(kernel(np.asarray(block)))
+    def _read(c):
+        # full sequential read (NOT mmap page faults mid-kernel): the
+        # block is handed to the device feed as one contiguous buffer
+        with open(paths[c], "rb") as fh:
+            return np.lib.format.read_array(fh)
+
+    todo = range(start, len(paths))
+    if prefetch and len(todo) > 1:
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=1)
+
+        def loop():
+            for c in todo:
+                q.put(_read(c))
+
+        threading.Thread(target=loop, daemon=True).start()
+        blocks = (q.get() for _ in todo)
+    else:
+        blocks = (_read(c) for c in todo)
+
+    for c, block in zip(todo, blocks):
+        result = np.asarray(kernel(block))
+        del block
         if acc is None:
             acc = np.zeros(result.shape[0], np.float64)
         acc += result.sum(axis=1)
@@ -195,7 +235,7 @@ def vacf_out_of_core(
     )
 
     def kernel(block):
-        out = ops.acf_fft(np.asarray(block, dtype=np.float64))
+        out = ops.acf_fft(device_f64(block))
         return out[:max_lag] if max_lag else out
 
     return correlate_spools(
@@ -256,9 +296,7 @@ def helfand_out_of_core(
     vol_avg = float(np.mean(volumes))
 
     def kernel(block):
-        out = ops.einstein_difference_fft(
-            np.asarray(block, dtype=np.float64), "mean"
-        )
+        out = ops.einstein_difference_fft(device_f64(block), "mean")
         return out[:max_lag] if max_lag else out
 
     raw = correlate_spools(kernel, paths, len(ag), checkpoint=checkpoint)
@@ -297,7 +335,7 @@ def msd_out_of_core(
     )
 
     def kernel(block):
-        out = ops.msd_fft(np.asarray(block, dtype=np.float64))
+        out = ops.msd_fft(device_f64(block))
         return out[:max_lag] if max_lag else out
 
     return correlate_spools(
