@@ -169,6 +169,12 @@ def build_tutorials(out: str, execute: bool):
             ).execute()
             nb.cells.pop(0)
         name = script.replace(".py", ".ipynb")
+        if execute:
+            # reference parity: the reference commits its executed
+            # tutorial notebooks (reference docs/tutorials/*.ipynb
+            # carry output cells) — write the executed notebook to
+            # the COMMITTED location too, not just the site dir
+            nbf.write(nb, os.path.join(HERE, "tutorials", name))
         nbf.write(nb, os.path.join(tut_out, name))
         links.append(name)
         shutil.copy(
