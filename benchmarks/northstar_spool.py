@@ -74,7 +74,7 @@ def main():
 
     # minimal topology: Universe over the TRR alone
     from transport_analysis_tpu.parallel.out_of_core import (
-        build_spools, correlate_spools,
+        build_spools, correlate_spools, device_f64,
     )
     from transport_analysis_tpu import ops
     from transport_analysis_tpu.io.trr import TRRReader
@@ -91,7 +91,8 @@ def main():
     t_spool = time.perf_counter() - t0
 
     def kernel(block):
-        return ops.acf_fft(np.asarray(block, dtype=np.float64))
+        # f32 ships (half the feed bytes), upcast on device
+        return ops.acf_fft(device_f64(block))
 
     t0 = time.perf_counter()
     ts = correlate_spools(kernel, paths, args.atoms)

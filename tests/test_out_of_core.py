@@ -209,11 +209,14 @@ class TestAutoAtomChunk:
     def test_pad_filling_grid_deep(self):
         from transport_analysis_tpu.ops.acf import auto_atom_chunk
 
-        # deep-path rungs measured on the 16 GB v5e (BENCH_NOTES r4)
-        assert auto_atom_chunk(1048576, d=3) == 85
-        assert auto_atom_chunk(524288, d=3) == 170
-        assert auto_atom_chunk(131072, d=3) == 682
-        assert auto_atom_chunk(262144, d=3) == 341
+        # deep-path rungs under the true-lane w model (_deep_w): the
+        # old 128-column pad grid (85/170/341/682 on the 16 GB v5e,
+        # BENCH_NOTES r4) gave way to continuous chunks at the same
+        # modeled peak; 2^20 x 95 hardware-validated (BENCH_NOTES r3)
+        assert auto_atom_chunk(1048576, d=3) == 95
+        assert auto_atom_chunk(524288, d=3) == 190
+        assert auto_atom_chunk(131072, d=3) == 762
+        assert auto_atom_chunk(262144, d=3) == 381
 
     def test_engine_path_unchanged(self):
         from transport_analysis_tpu.ops.acf import auto_atom_chunk

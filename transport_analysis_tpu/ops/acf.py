@@ -91,10 +91,17 @@ def auto_atom_chunk(
             if peak <= budget:
                 best = chunk
         return best
-    best = max(1, 256 // d)
-    for k in range(1, 64):
-        chunk = (256 * k) // d
-        w = 128 * k
+    # deep path: w rounds to the TRUE lane granularity
+    # max(1, 128/outer) (deep_acf._deep_w) — at outer >= 128 (every
+    # M >= 2^21) the pad-filling 128-column grid is gone and chunks
+    # are continuous; the peak stage holds two f32-pair stage arrays
+    # = 32·M·w bytes
+    from . import deep_acf as _da
+
+    inner, outer = _da._split_m(m)
+    best = 1
+    for chunk in range(1, 4097):
+        w = _da._deep_w(d * chunk, outer or 256)
         peak = 32.0 * m * w + isize * d * n_frames * chunk
         if peak <= budget:
             best = chunk

@@ -90,6 +90,23 @@ def _split_m(m: int):
     return None, None
 
 
+def _deep_w(s: int, outer: int) -> int:
+    """Packed-column width for ``s`` real series at the given outer
+    factor: the two-for-one complex packing needs ceil(s/2) columns,
+    rounded up to the chain's true lane granularity.
+
+    The constraint is on B = w·outer (the stage arrays' lane count):
+    B must divide into the engine's _DEEP_WT(=128)-lane tiles and the
+    outer kernel's max(128, outer)-lane blocks, both powers of two —
+    so w need only be a multiple of max(1, 128 // outer), NOT of 128.
+    The historical w = 128·k rule padded a P=16 deep call (outer=8)
+    to 8× its real width and made M = 2^22 x any-chunk exceed a 16 GB
+    chip; at outer >= 128 the padding waste is zero."""
+    half = (s + 1) // 2
+    w_align = max(1, 128 // outer)
+    return -(-half // w_align) * w_align
+
+
 @functools.lru_cache(maxsize=4)
 def _outer_tables(inner: int, outer: int):
     """Host-exact f64 twiddle tables W_M^(k1 j2) and the outer DFT /
@@ -920,8 +937,7 @@ def raw_autocorr_deep(x, n_out: int, m: int = None,
         and not _os.environ.get("TRANSPORT_ANALYSIS_TPU_DEEP_EAGER")
     )
     if use_onejit:
-        half = (s + 1) // 2
-        w = -(-half // _DEEP_WT) * _DEEP_WT
+        w = _deep_w(s, outer)
         consts = _pf._device_constants(inner // 128, 1, n_bands)
         tables = _outer_kernel_tables(inner, outer, n_bands)
         box = [x]
@@ -937,8 +953,7 @@ def raw_autocorr_deep(x, n_out: int, m: int = None,
         _last_fence_t[0] = _time.perf_counter()
         print("[deep_hbm] enter", flush=True)
 
-    half = (s + 1) // 2
-    w = -(-half // _DEEP_WT) * _DEEP_WT
+    w = _deep_w(s, outer)
     pair = _fence(*_prepare_pair(x, inner, outer, w, s), tag="prepare")
     del x  # donated to _prepare_pair
 

@@ -204,8 +204,10 @@ def _einstein_fft_impl(sq: jax.Array, reduce_mode: str, d: int,
     total = css[-1]
 
     lags = jnp.arange(N)
-    # S_head(lag) = sum_{i=0}^{N-lag-1} sq[i] = css[N-lag-1]
-    s_head = css[N - 1 - lags]  # (N, P)
+    # S_head(lag) = sum_{i=0}^{N-lag-1} sq[i] = css[N-lag-1]: an
+    # iota-reversal — jnp.flip (lax.rev, a relayout) instead of the
+    # equivalent css[N-1-lags] gather (TPU gathers serialize)
+    s_head = jnp.flip(css, axis=0)  # (N, P)
     # S_tail(lag) = sum_{i=lag}^{N-1} sq[i] = total - css[lag-1]
     css_prev = jnp.concatenate(
         [jnp.zeros((1, P), sq.dtype), css[:-1]], axis=0
