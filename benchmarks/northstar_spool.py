@@ -91,8 +91,11 @@ def main():
     t_spool = time.perf_counter() - t0
 
     def kernel(block):
-        # f32 ships (half the feed bytes), upcast on device
-        return ops.acf_fft(device_f64(block))
+        # f32 ships (half the feed bytes), upcast on device;
+        # particle-sum ON DEVICE so the readback is (L,) ~2 MB, not
+        # the (L, chunk) ~2 GB per-atom curves (which serialized the
+        # round-3 first run at 133 s/chunk on this box's tunnel)
+        return ops.acf_fft(device_f64(block)).sum(axis=1)
 
     t0 = time.perf_counter()
     ts = correlate_spools(kernel, paths, args.atoms)

@@ -135,8 +135,15 @@ def correlate_spools(
     checkpoint: Optional[str] = None,
     prefetch: bool = True,
 ) -> np.ndarray:
-    """Pass 2: run ``kernel((N, chunk, d)) → (L, chunk)`` over each
-    spool and return the particle-mean timeseries (L,).
+    """Pass 2: run ``kernel((N, chunk, d)) → (L,) or (L, chunk)``
+    over each spool and return the particle-mean timeseries (L,).
+
+    Kernels SHOULD particle-sum on device and return (L,): the
+    per-atom curves are never used here, and reading them back costs
+    L×chunk×8 B per chunk (~0.8 GB at the N=2^20 rung — ~840 GB
+    over the full north-star atom stream) versus L×8 B (~8 MB) for
+    the summed series. A 2-D (L, chunk) result is still accepted and
+    summed on host (back-compat for custom kernels).
 
     ``prefetch`` reads spool c+1 on a background thread while the
     device correlates chunk c — the sequential disk read rides inside
@@ -177,7 +184,7 @@ def correlate_spools(
         del block
         if acc is None:
             acc = np.zeros(result.shape[0], np.float64)
-        acc += result.sum(axis=1)
+        acc += result if result.ndim == 1 else result.sum(axis=1)
         if checkpoint:
             tmp = checkpoint + ".tmp"
             with open(tmp, "wb") as fh:
@@ -236,7 +243,9 @@ def vacf_out_of_core(
 
     def kernel(block):
         out = ops.acf_fft(device_f64(block))
-        return out[:max_lag] if max_lag else out
+        if max_lag:
+            out = out[:max_lag]
+        return out.sum(axis=1)  # particle-sum ON DEVICE: (L,) readback
 
     return correlate_spools(
         kernel, paths, len(ag), checkpoint=checkpoint
@@ -297,7 +306,9 @@ def helfand_out_of_core(
 
     def kernel(block):
         out = ops.einstein_difference_fft(device_f64(block), "mean")
-        return out[:max_lag] if max_lag else out
+        if max_lag:
+            out = out[:max_lag]
+        return out.sum(axis=1)  # particle-sum ON DEVICE: (L,) readback
 
     raw = correlate_spools(kernel, paths, len(ag), checkpoint=checkpoint)
     k_B = constants["Boltzmann_constant"]
@@ -336,7 +347,9 @@ def msd_out_of_core(
 
     def kernel(block):
         out = ops.msd_fft(device_f64(block))
-        return out[:max_lag] if max_lag else out
+        if max_lag:
+            out = out[:max_lag]
+        return out.sum(axis=1)  # particle-sum ON DEVICE: (L,) readback
 
     return correlate_spools(
         kernel, paths, len(ag), checkpoint=checkpoint
@@ -374,9 +387,12 @@ def vacf_out_of_core_sharded(
     )
 
     def kernel(block):
-        return sharded_acf_fft(
+        out = sharded_acf_fft(
             np.asarray(block, dtype=np.float64), mesh, axis_name
         )
+        # particle-sum before readback (elementwise per frame — the
+        # frame sharding is preserved; gather is (L,) not (L, chunk))
+        return out.sum(axis=1)
 
     return correlate_spools(
         kernel, paths, len(ag), checkpoint=checkpoint
@@ -438,10 +454,11 @@ def helfand_out_of_core_sharded(
     vol_avg = float(np.mean(volumes))
 
     def kernel(block):
-        return sharded_msd_fft(
+        out = sharded_msd_fft(
             np.asarray(block, dtype=np.float64), mesh, axis_name,
             reduce_mode="mean",
         )
+        return out.sum(axis=1)
 
     raw = correlate_spools(kernel, paths, len(ag), checkpoint=checkpoint)
     k_B = constants["Boltzmann_constant"]
