@@ -157,10 +157,12 @@ def _host_kernel():
     return step
 
 
-def auto_chunk(n_frames: int, hbm_budget_gb: float = 13.5) -> int:
+def auto_chunk(n_frames: int, hbm_budget_gb: float | None = None) -> int:
     """Pad-filling HBM-fitting atom chunk — now provided by the
     package (ops.acf.auto_atom_chunk); kept as a thin alias for the
-    CLI contract and older scripts."""
+    CLI contract and older scripts. The budget default follows the
+    package's per-branch calibration (the old 13.5 GB override
+    admitted chunk=107 at N=2^20, which OOMs — 18.0 GB program)."""
     from transport_analysis_tpu.ops.acf import auto_atom_chunk
 
     return auto_atom_chunk(n_frames, d=3, hbm_budget_gb=hbm_budget_gb)
@@ -177,6 +179,10 @@ def main():
                     help="verify one chunk against the host f64 oracle")
     ap.add_argument("--stages", action="store_true",
                     help="fenced per-stage breakdown of one chunk")
+    ap.add_argument("--substages", action="store_true",
+                    help="fenced breakdown of the Helfand leg's "
+                         "extras over the VACF leg (center+sq, "
+                         "correlation, Kneller assembly)")
     ap.add_argument("--precision", default="exact",
                     help="ops.fft_precision profile for the banded "
                          "engine (exact/high/medium/fast); the north "
@@ -244,6 +250,47 @@ def main():
             "stages_s": {k: round(v, 2) for k, v in stages.items()},
             "chunk_wall_s": round(sum(stages.values()), 2),
             "hbm_peak_gb": hbm_peaks,
+        }))
+        return
+
+    if args.substages:
+        # Where does helfand_fft's ~0.2 s over vacf_fft live? Fence
+        # each extra separately: center+sq, the shared deep-chain
+        # correlation, and the Kneller/Calandrini assembly (prefix
+        # sums + head/tail windows). Warm first, time second.
+        from transport_analysis_tpu.ops import einstein as ein
+
+        kernels = _device_kernel(n_frames, chunk)
+        synth_accum = kernels.synth_accum
+        key = jax.random.PRNGKey(0)
+
+        def one(k):
+            walls = {}
+            box = [synth_accum(k)]
+            np.asarray(jnp.sum(box[0]))
+            t0 = time.perf_counter()
+            a, sq = ein._center_and_sq(box.pop())
+            np.asarray(sq[-1, -1])
+            walls["center_and_sq"] = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            box = [a]
+            del a
+            corr = ops.acf.raw_autocorr_sumlast(box.pop())
+            np.asarray(corr[-1, -1])
+            walls["raw_autocorr"] = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            out = ein._einstein_fft_impl(sq, "mean", 3, corr)
+            np.asarray(out[-1, -1])
+            walls["kneller_assembly"] = time.perf_counter() - t0
+            return walls
+
+        one(jax.random.fold_in(key, 10**6))  # warm
+        walls = one(jax.random.fold_in(key, 1))
+        print(json.dumps({
+            "metric": (
+                f"helfand substages (N={n_frames}, chunk={chunk}, "
+                f"f64)"),
+            "stages_s": {k: round(v, 3) for k, v in walls.items()},
         }))
         return
 

@@ -209,14 +209,23 @@ class TestAutoAtomChunk:
     def test_pad_filling_grid_deep(self):
         from transport_analysis_tpu.ops.acf import auto_atom_chunk
 
-        # deep-path rungs under the true-lane w model (_deep_w): the
-        # old 128-column pad grid (85/170/341/682 on the 16 GB v5e,
-        # BENCH_NOTES r4) gave way to continuous chunks at the same
-        # modeled peak; 2^20 x 95 hardware-validated (BENCH_NOTES r3)
-        assert auto_atom_chunk(1048576, d=3) == 95
-        assert auto_atom_chunk(524288, d=3) == 190
-        assert auto_atom_chunk(131072, d=3) == 762
-        assert auto_atom_chunk(262144, d=3) == 381
+        # deep-path rungs under the HARDWARE-ANCHORED peak model
+        # (46·M·w + (24+8)·N·chunk, see auto_atom_chunk docstring):
+        # the theoretical two-spectra model (32·M·w) admitted
+        # chunk=107 at N=2^20, whose one-jit chain compiles to an
+        # 18.0 GB program (OOM on the 16 GB v5e — XLA carries extra
+        # while-loop copies of the unpack outputs). The recalibrated
+        # model lands exactly on the rungs with recorded hardware
+        # runs: 85/170/341/682 (BENCH_NOTES round-5 ladder) — the
+        # true-lane w (_deep_w) still ends the 128-pad grid for
+        # small-P calls and odd d·chunk (w follows d·chunk/2, not
+        # 128k), it just no longer inflates the admitted chunk.
+        assert auto_atom_chunk(1048576, d=3) == 85
+        assert auto_atom_chunk(524288, d=3) == 170
+        assert auto_atom_chunk(131072, d=3) == 682
+        assert auto_atom_chunk(262144, d=3) == 341
+        # one rung past the north star (VERDICT item 7 prep)
+        assert auto_atom_chunk(2097152, d=3) == 42
 
     def test_engine_path_unchanged(self):
         from transport_analysis_tpu.ops.acf import auto_atom_chunk
@@ -231,7 +240,9 @@ class TestAutoAtomChunk:
         from transport_analysis_tpu.ops.acf import auto_atom_chunk
 
         big = auto_atom_chunk(1048576, d=3, hbm_budget_gb=90.0)
-        assert big > 6 * 85  # v5p-class HBM fits several more tiles
+        # v5p-class HBM fits ~5.9x the v5e chunk under the anchored
+        # 46-coefficient (504 at 90 GB vs 85 at 15.25 GB)
+        assert big >= 5 * 85
 
     def test_out_of_core_accepts_auto(self, tmp_path):
         # default atom_chunk="auto" resolves and matches explicit int

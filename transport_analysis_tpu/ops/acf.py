@@ -56,26 +56,44 @@ def auto_atom_chunk(
     NOTES round 4). Memory model, recalibrated on a 16 GB v5e with
     the consume-discipline dispatch:
 
-    * deep path (M = 2·next_pow2(N) > 65536): peak stage holds two
-      full f64 complex spectra = 32·M·w bytes (w = 128·k packed
-      columns), plus the caller's surviving f64 source ≈ 24·N·chunk.
+    * deep path (M = 2·next_pow2(N) > 65536): peak ≈ 46·M·w bytes of
+      f32-pair stage arrays (w = true-lane packed columns, deep_acf.
+      _deep_w) + the in-program f64 source 24·N·chunk + 8·N·chunk for
+      the caller-held |a|² prefix operand of the Helfand/Einstein leg
+      (outside the program, but inside the chip). The 46 coefficient
+      is HARDWARE-ANCHORED, not two-spectra theory (which says 32):
+      the one-jit chain at (M=2^21, w=161) compiled to an 18.00 GB
+      program — 45.3·M·w + source — the extra ~0.85 spectra being
+      XLA while-loop carry copies of the unpack outputs (remat2
+      copies in the HBM dump). The 32-coefficient model admitted
+      chunk=107 at N=2^20, which OOMs a 16 GB chip.
     * engine path (M ≤ 65536): peak ≈ M·w'·64 with w' = d·chunk/2
       padded to 128, plus the (N, chunk, d) source (recalibrated:
       the 48-coefficient model admitted chunk=2048 at N=32768 —
       modeled 11.3 GB — which OOMs on hardware; chunk=1024 runs the
       100k-atom slice at 66 s).
 
-    The budget defaults to 12 GB: on a 16 GB v5e every configuration
-    with a modeled peak <= 10.7 GB ran, and both 13.4 GB configs
-    OOMed (prepare-stage transients + engine constants + allocator
-    fragmentation eat the nominal headroom). Override per call or via
+    Budget defaults per branch: engine 12 GB (on a 16 GB v5e every
+    configuration with a modeled peak <= 10.7 GB ran, and both
+    13.4 GB configs OOMed — prepare-stage transients + engine
+    constants + allocator fragmentation eat the nominal headroom);
+    deep 15.25 GB, chosen so the 46-coefficient model admits exactly
+    the hardware-proven rungs (N=2^20 chunk=85 at modeled 15.20,
+    measured envelope ~15.0 of 15.75 usable; N=2^18 chunk=341 at
+    modeled 15.21) and rejects the OOMing chunk=107 (modeled 18.1).
+    The deep model is ~5% conservative for VACF-only callers (no
+    held |a|² operand). Override per call or via
     TRANSPORT_ANALYSIS_TPU_HBM_BUDGET_GB for other parts.
     """
     import os as _os
 
     if hbm_budget_gb is None:
-        hbm_budget_gb = float(_os.environ.get(
-            "TRANSPORT_ANALYSIS_TPU_HBM_BUDGET_GB", 12.0))
+        env = _os.environ.get("TRANSPORT_ANALYSIS_TPU_HBM_BUDGET_GB")
+        if env is not None:
+            hbm_budget_gb = float(env)
+        else:
+            m0 = 2 * next_pow_2(n_frames)
+            hbm_budget_gb = 12.0 if m0 <= 65536 else 15.25
     budget = hbm_budget_gb * 1e9
     # chain stages are f32 pairs regardless of input dtype; only the
     # held SOURCE scales with the input itemsize. (In practice the
@@ -94,15 +112,17 @@ def auto_atom_chunk(
     # deep path: w rounds to the TRUE lane granularity
     # max(1, 128/outer) (deep_acf._deep_w) — at outer >= 128 (every
     # M >= 2^21) the pad-filling 128-column grid is gone and chunks
-    # are continuous; the peak stage holds two f32-pair stage arrays
-    # = 32·M·w bytes
+    # are continuous. Peak model is hardware-anchored (docstring):
+    # 46·M·w of f32-pair stages + the in-program source + the
+    # caller-held (N, chunk) f64 Einstein prefix operand.
     from . import deep_acf as _da
 
     inner, outer = _da._split_m(m)
     best = 1
     for chunk in range(1, 4097):
         w = _da._deep_w(d * chunk, outer or 256)
-        peak = 32.0 * m * w + isize * d * n_frames * chunk
+        peak = (46.0 * m * w
+                + (isize * d + 8.0) * n_frames * chunk)
         if peak <= budget:
             best = chunk
     return best
