@@ -248,13 +248,26 @@ def raw_autocorr_sumlast(x: jax.Array) -> jax.Array:
        ``jax.jit`` — the engine paths stage eagerly; under an active
        trace the dispatch falls back to the XLA matmul-FFT.
     """
+    N, P, d = x.shape
+    box = [x.reshape(N, P * d)]
+    del x
+    return raw_autocorr_sumlast_flat(box.pop(), P, d)
+
+
+def raw_autocorr_sumlast_flat(x: jax.Array, P: int, d: int) -> jax.Array:
+    """Component-summed autocorrelation on a PRE-FLATTENED operand,
+    (N, P·d) → (N, P): series of particle p live in columns
+    p·d … p·d+d−1. Entry point for callers that already hold the flat
+    layout (ops.einstein's fused centering emits it directly — the
+    (N, P, d) → (N, S) relayout then happens exactly once per chunk).
+    Same dispatch and consume discipline as raw_autocorr_sumlast.
+    """
     import os
 
-    N, P, d = x.shape
+    N, S = x.shape
     if _has_native_fft():
-        return _raw_autocorr_native_sumlast(x)
+        return _raw_autocorr_native_sumlast(x.reshape(N, P, d))
     M = 2 * next_pow_2(N)
-    S = P * d
     if (
         x.dtype in (jnp.float64, jnp.float32)
         and not os.environ.get("TRANSPORT_ANALYSIS_TPU_NO_PALLAS_FFT")
@@ -268,7 +281,7 @@ def raw_autocorr_sumlast(x: jax.Array) -> jax.Array:
             # UNPADDED (rows pad inside the slabbed prepare stage)
             # and the per-particle component sum rides the fused
             # epilogue — both full-array f64 passes disappear
-            box = [x.reshape(N, S)]
+            box = [x]
             del x
             return deep_acf.raw_autocorr_deep(
                 box.pop(), N, m=M, sum_d=d)
@@ -279,10 +292,10 @@ def raw_autocorr_sumlast(x: jax.Array) -> jax.Array:
             # concat/slice/reshape/component-sum all run on f32 pairs
             # and only the final (N, P) result converts to float64.
             dt = x.dtype
-            x_pad = jnp.pad(x.reshape(N, S), ((0, M - N), (0, 0)))
+            x_pad = jnp.pad(x, ((0, M - N), (0, 0)))
             pair = pallas_fft.raw_autocorr_pallas_pair(x_pad, N)
             return _sumlast_pair_post(pair, N, P, d, dtype=dt)
-    raw = raw_autocorr(x.reshape(N, P * d)).reshape(N, P, d)
+    raw = raw_autocorr(x).reshape(N, P, d)
     return jnp.sum(raw, axis=-1)
 
 
@@ -370,8 +383,11 @@ def acf_fft(x) -> jax.Array:
     del x  # consume discipline (see raw_autocorr): callers that hand
     # their only reference in get the deep path's full HBM headroom
     raw = raw_autocorr_sumlast(box.pop())
-    norm = (N - jnp.arange(N, dtype=dtype))[:, None]
-    return raw / norm
+    # (N, 1) reciprocal + broadcast multiply: emulated-f64 division on
+    # TPU is an iterative multi-op sequence per element — dividing the
+    # full (N, P) array cost ~0.15 s/chunk at the N=2^20 rung
+    inv = (1.0 / (N - jnp.arange(N, dtype=dtype)))[:, None]
+    return raw * inv
 
 
 @partial(jax.jit, static_argnames=("n_lags",))

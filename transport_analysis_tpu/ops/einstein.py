@@ -114,42 +114,76 @@ def _tri_matmul_banded(tri: jax.Array, x: jax.Array) -> jax.Array:
     return out * b_exp
 
 
+def _prefix_sum_pairscan(x: jax.Array) -> jax.Array:
+    """Inclusive prefix sum along axis 0 of (N, P) float64 on the VPU
+    in compensated float32-pair arithmetic (Hillis–Steele shifts
+    within 128-row blocks + recursive block-total combine in f64).
+
+    Replaces the banded-MXU formulation for the TPU f64 path: that
+    route was EXACT but spent 2 full-array transposes (moveaxis to a
+    (128, n_blocks·P) GEMM layout and back) + a 7-band extraction per
+    call — measured 107 ms at the N=2^20, P=85 north-star shape where
+    the HBM speed of light is ~6 ms (benchmarks/micro_prefix.py). The
+    pair scan runs log2(128)=7 shifted compensated adds on the data
+    in its NATIVE layout: every f32 TwoSum is error-free, the only
+    roundings are the lo-plane folds (~7·2^-48 relative), and the
+    block totals combine in true f64 — ~1e-13 worst-case relative
+    error, far inside both the 1e-12 test gate and the package's
+    1e-11 contract.
+    """
+    n, p = x.shape
+    b = _PREFIX_BLOCK
+    n_blocks = -(-n // b)
+    x_pad = jnp.pad(x, ((0, n_blocks * b - n), (0, 0)))
+    from .ozaki import _two_sum_f32
+
+    hi = x_pad.astype(jnp.float32)
+    lo = (x_pad - hi.astype(jnp.float64)).astype(jnp.float32)
+    hi = hi.reshape(n_blocks, b, p)
+    lo = lo.reshape(n_blocks, b, p)
+    k = 1
+    while k < b:
+        sh = jnp.pad(hi[:, :-k], ((0, 0), (k, 0), (0, 0)))
+        sl = jnp.pad(lo[:, :-k], ((0, 0), (k, 0), (0, 0)))
+        s, e = _two_sum_f32(hi, sh)
+        hi, lo = s, lo + sl + e
+        k *= 2
+    intra = hi.astype(jnp.float64) + lo.astype(jnp.float64)
+    if n_blocks == 1:
+        return intra.reshape(n_blocks * b, p)[:n]
+    totals = intra[:, -1, :]  # (n_blocks, P) f64
+    csum = _prefix_sum_blocked(totals)  # recurse (depth ≤ 3 at 2^20)
+    offsets = csum - totals  # exclusive
+    out = intra + offsets[:, None, :]
+    return out.reshape(n_blocks * b, p)[:n]
+
+
 def _prefix_sum_blocked(x: jax.Array) -> jax.Array:
-    """Inclusive prefix sum along axis 0 of (N, P) via MXU matmuls.
+    """Inclusive prefix sum along axis 0 of (N, P).
 
     float64 ``jnp.cumsum`` on TPU is emulated element-by-element and
-    dominates the Einstein kernel at large N; a lower-triangular
-    matmul per 128-row block + a 128×-smaller cumsum of block totals
-    does the same reduction on the MXU. On TPU float64 the triangular
-    matmul goes through _tri_matmul_banded (one bf16 GEMM per data
-    band — the 0/1 triangular operand needs none) — XLA's emulated-f64
-    einsum here measured ~6 ms at N=8192, P=512 vs ~1 ms banded.
+    dominates the Einstein kernel at large N. TPU float64 routes
+    through the f32-pair Hillis–Steele scan (_prefix_sum_pairscan);
+    other backends/dtypes use a lower-triangular matmul per 128-row
+    block + a recursive combine of block totals.
     """
     from .fft import _use_ozaki
 
+    if _use_ozaki(x.dtype):
+        return _prefix_sum_pairscan(x)
     n, p = x.shape
     b = _PREFIX_BLOCK
     n_blocks = -(-n // b)
     x_pad = jnp.pad(x, ((0, n_blocks * b - n), (0, 0)))
     blocks = x_pad.reshape(n_blocks, b, p)
     tri = jnp.tril(jnp.ones((b, b), x.dtype))
-    if _use_ozaki(x.dtype):
-        wide = jnp.moveaxis(blocks, 0, 1).reshape(b, n_blocks * p)
-        intra = jnp.moveaxis(
-            _tri_matmul_banded(tri, wide).reshape(b, n_blocks, p), 1, 0)
-    else:
-        intra = jnp.einsum(
-            "lk,bkp->blp", tri, blocks,
-            preferred_element_type=x.dtype,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+    intra = jnp.einsum(
+        "lk,bkp->blp", tri, blocks,
+        preferred_element_type=x.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     totals = intra[:, -1, :]  # (n_blocks, P)
     if n_blocks > b:
-        # deep series (north-star rungs): the block totals are
-        # themselves a long axis — recurse onto the MXU instead of
-        # jnp.cumsum, whose emulated-f64 lowering is sequential
-        # (measured: the 8192-row totals cumsum at N=2^20 dominated
-        # the Einstein assembly)
         csum = _prefix_sum_blocked(totals)
     else:
         csum = jnp.cumsum(totals, axis=0)
@@ -171,6 +205,28 @@ def _center_and_sq(a):
     separate _center -> _sq_sum chain re-read the centered array)."""
     c = a - jnp.mean(a, axis=0, keepdims=True)
     return c, jnp.sum(c * c, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("d",))
+def _center_and_sq_flat(a, d: int):
+    """Fused centering + component-summed squares producing the
+    FLATTENED (N, P·d) centered operand the autocorrelation consumes.
+
+    Flattening FIRST matters on TPU: every elementwise op on an
+    (N, P, 3) array runs at 3/128 lane occupancy (the minor dim maps
+    to vector lanes), and the d-axis reduction pays the same tax —
+    measured 85 ms at the N=2^20 north-star chunk where the flat
+    form's speed of light is ~10 ms. The d-component sum runs as
+    lane-strided slices of the full-width square array.
+    """
+    N = a.shape[0]
+    flat = a.reshape(N, -1)
+    c = flat - jnp.mean(flat, axis=0, keepdims=True)
+    c2 = c * c
+    sq = c2[:, 0::d]
+    for j in range(1, d):
+        sq = sq + c2[:, j::d]
+    return c, sq
 
 
 @jax.jit
@@ -215,10 +271,15 @@ def _einstein_fft_impl(sq: jax.Array, reduce_mode: str, d: int,
     s_tail = total[None, :] - css_prev
     raw = s_head + s_tail - 2.0 * corr
 
-    denom = (N - lags).astype(sq.dtype)[:, None]
-    out = raw / denom
+    # normalize via a precomputed (N, 1) reciprocal: emulated-f64
+    # DIVISION on TPU is an iterative multi-op sequence per element —
+    # dividing the (N, P) array cost ~50 ms at the north-star shape
+    # where N reciprocals + a broadcast multiply are near-free
+    denom = (N - lags).astype(sq.dtype)
     if reduce_mode == "mean":
-        out = out / d
+        denom = denom * d
+    inv = (1.0 / denom)[:, None]
+    out = raw * inv
     # lag-0 row is exactly 0 by construction; pin it to kill FFT noise
     return out.at[0].set(0.0)
 
@@ -240,23 +301,26 @@ def einstein_difference_fft(a, reduce_mode: str = "mean",
     a = jnp.asarray(a)
     if a.ndim == 2:
         a = a[:, :, None]
-    d = a.shape[-1]
+    P, d = a.shape[1], a.shape[-1]
     # |a_i|² summed over components FIRST (an (N, P) array, d·3×
-    # smaller; fused with the centering so the operand is read once),
-    # then the (N, P, d) operand is handed to the correlation WITHOUT
+    # smaller; fused with the centering so the operand is read once
+    # and emitted in the FLAT (N, P·d) layout the correlation
+    # consumes), then the operand is handed to the correlation WITHOUT
     # a surviving local reference (box.pop()): the deep chain at
     # N ≥ 2^17 runs multi-GB stages, and a held operand adds its full
     # size onto the chain's HBM peak (measured: the held centered
     # operand was the OOM at the N=2^20 rung)
     if corr is None:
-        a, sq = _center_and_sq(a)
+        flat, sq = _center_and_sq_flat(a, d)
+        del a
+        box = [flat]
+        del flat
+        # C(lag, p) = sum_i sum_d a[i]·a[i+lag]  (raw, unnormalized)
+        from .acf import raw_autocorr_sumlast_flat
+
+        corr = raw_autocorr_sumlast_flat(box.pop(), P, d)
     else:
         sq = _sq_sum(a)
-    if corr is None:
-        box = [a]
-        del a
-        # C(lag, p) = sum_i sum_d a[i]·a[i+lag]  (raw, unnormalized)
-        corr = raw_autocorr_sumlast(box.pop())
     return _einstein_fft_impl(sq, reduce_mode, d, corr)
 
 
