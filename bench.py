@@ -3,28 +3,36 @@
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Workload (BASELINE.json configs #2/#3): per-particle VACF via FFT
-autocorrelation + Green-Kubo diffusivity, and the Helfand viscosity
-function + linear-fit slope, on an (N_FRAMES, N_ATOMS, 3) float64
-velocity/position block resident on the accelerator.
+The reported value is a COMPOSITE (geometric mean) of two rungs so it
+moves when either production path does (VERDICT r3 #3: three rounds of
+deep-chain wins — 5.8e10 -> 2.43e11 on the deep rung — were invisible
+to a bench that only ran the N=8192 engine shape):
 
-Metric: effective atom-frame-lags per second — both analyses produce
-Sum_lag (N - lag) = N(N+1)/2 lag-window reductions per atom, so
+* engine rung — BASELINE.json configs #2/#3: per-particle VACF via
+  FFT autocorrelation + Green-Kubo diffusivity, and the Helfand
+  viscosity function + linear-fit slope, on an (N_FRAMES, N_ATOMS, 3)
+  float64 velocity/position block resident on the accelerator
+  (N=8192: M=2^14, the fused Pallas banded engine).
+* deep rung — the full acf_fft dispatch at N=131072 frames, P=16, f64
+  (M=2^18 > the engine's 65536 ceiling, so it takes the deep
+  composition of ops/deep_acf.py — where every large-N result lives).
 
-    value = 2 * N(N+1)/2 * P / wall_seconds
-
-(the work unit of the reference's windowed algorithm; the FFT engines
-produce identical output in O(N log N), which is exactly the point).
+Metric: effective atom-frame-lags per second — each analysis produces
+Sum_lag (N - lag) = N(N+1)/2 lag-window reductions per atom (the work
+unit of the reference's windowed algorithm; the FFT engines produce
+identical output in O(N log N), which is exactly the point).
 
 Baseline: the reference's own algorithm structure on this host —
 tidynamics-style FFT autocorrelation called serially per particle
-(reference velocityautocorr.py:210-213) plus the O(N^2) windowed numpy
-Helfand lag loop (viscosity.py:210-226), the only viscosity algorithm
-the reference has. The Helfand baseline is timed on a lag subsample and
-extrapolated by measured per-element throughput (full run would take
-hours). vs_baseline = value / baseline_value = end-to-end speedup.
+(reference velocityautocorr.py:210-213) plus (engine rung only) the
+O(N^2) windowed numpy Helfand lag loop (viscosity.py:210-226), the
+only viscosity algorithm the reference has. The Helfand baseline is
+timed on a lag subsample and extrapolated by measured per-element
+throughput (full run would take hours). vs_baseline = geometric mean
+of the per-rung speedups.
 
-Env overrides: BENCH_FRAMES, BENCH_ATOMS, BENCH_DTYPE (float32|float64).
+Env overrides: BENCH_FRAMES, BENCH_ATOMS, BENCH_DTYPE (float32|float64),
+BENCH_SKIP_DEEP=1 (engine rung only, the pre-round-4 behavior).
 """
 
 import json
@@ -200,6 +208,46 @@ def baseline_pipeline(vel, pos, masses, times):
     return vacf_time + helfand_time, vacf_ts
 
 
+DEEP_FRAMES, DEEP_ATOMS = 131072, 16
+
+
+def deep_rung():
+    """One acf_fft dispatch at a deep shape (M=2^18 > engine ceiling)
+    vs the reference-structured serial per-particle host FFT loop.
+    Returns (lags_per_s, baseline_lags_per_s, rel_err_head)."""
+    n, p = DEEP_FRAMES, DEEP_ATOMS
+    rng = np.random.RandomState(7)
+    x = rng.normal(0, 5, (n, p, 3))
+
+    xd = jnp.asarray(x)
+    np.asarray(ops.acf_fft(xd))  # warm (compile)
+    del xd
+    # distinct buffers (memoization defence) via an EXACT pow2 scale:
+    # acf(2x) = 4*acf(x) bit-for-bit in the input
+    xd = jnp.asarray(x * 2.0)
+    np.asarray(jnp.sum(xd))  # fence the feed out of the timed region
+    t0 = time.perf_counter()
+    got = np.asarray(ops.acf_fft(xd))  # readback fences
+    wall = time.perf_counter() - t0
+
+    # reference structure: tidynamics-style FFT acf, serial per
+    # particle (velocityautocorr.py:210-213), on the host in f64
+    t0 = time.perf_counter()
+    ref_bp = np.empty((n, p))
+    for i in range(p):
+        ref_bp[:, i] = acf_fft_numpy(x[:, i, :]).sum(axis=1)
+    base_wall = time.perf_counter() - t0
+
+    err = np.abs(got / 4.0 - ref_bp) / np.abs(ref_bp).max()
+    # head half carries the contract; the deepest lags divide the raw
+    # correlation by (N-lag) -> 1, amplifying the absolute error floor
+    # ~N x even in pure f64 (see scripts/deep_gate.py)
+    rel_err = float(err[: n // 2].max())
+
+    lag_work = (n * (n + 1) // 2) * p
+    return lag_work / wall, lag_work / base_wall, rel_err
+
+
 def main():
     vel, pos, masses, times = make_data(N_FRAMES, N_ATOMS, DTYPE)
     wall, out = tpu_pipeline(vel, pos, masses, times)
@@ -211,16 +259,31 @@ def main():
     rel_err = float(np.max(np.abs(ours - base_vacf)) / denom)
 
     lag_work = 2 * (N_FRAMES * (N_FRAMES + 1) // 2) * N_ATOMS
-    value = lag_work / wall
-    baseline_value = lag_work / base_wall
+    engine_rate = lag_work / wall
+    engine_base = lag_work / base_wall
+
+    if os.environ.get("BENCH_SKIP_DEEP"):
+        value, baseline_value = engine_rate, engine_base
+        deep_note = "deep rung skipped"
+    else:
+        deep_rate, deep_base, deep_err = deep_rung()
+        rel_err = max(rel_err, deep_err)
+        value = float(np.sqrt(engine_rate * deep_rate))
+        baseline_value = float(np.sqrt(engine_base * deep_base))
+        deep_note = (
+            f"deep N={DEEP_FRAMES} P={DEEP_ATOMS}: {deep_rate:.3e}"
+        )
+
     print(
         json.dumps(
             {
                 "metric": (
-                    f"VACF+Helfand effective atom-frame-lags/s "
-                    f"(N={N_FRAMES}, P={N_ATOMS}, d=3, {DTYPE.name}, "
+                    f"VACF+Helfand composite atom-frame-lags/s, geomean"
+                    f" of engine rung (N={N_FRAMES}, P={N_ATOMS}, d=3,"
+                    f" {DTYPE.name}: {engine_rate:.3e}) and deep rung"
+                    f" ({deep_note}), "
                     f"backend={jax.default_backend()}, "
-                    f"max_rel_err_vs_f64_host={rel_err:.2e})"
+                    f"max_rel_err_vs_f64_host={rel_err:.2e}"
                 ),
                 "value": value,
                 "unit": "atom-frame-lags/s",

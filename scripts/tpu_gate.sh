@@ -11,13 +11,19 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-MIN_LAGS="${TPU_GATE_MIN_LAGS:-1.0e12}"   # throughput regression floor
+# Throughput floors are per-platform (scripts/gate_floors.py):
+# hardware-anchored on the v5e, scaled by HBM-bandwidth ratio on
+# other chips (both gated paths are traffic-bound). Env overrides
+# still win. Deep floor rationale: scripts/deep_gate.py N=2^17 rung
+# measured 7.5e10 lags/s on the v5e; the floor catches a >=20%
+# regression or a silent dispatch regression off the deep path, the
+# blind spot that let the round-2 trace-gate incident through.
+read -r DEF_MIN_LAGS DEF_MIN_DEEP_LAGS DEVICE_KIND \
+    <<< "$(python scripts/gate_floors.py)"
+echo "detected device: ${DEVICE_KIND} (floors ${DEF_MIN_LAGS} / ${DEF_MIN_DEEP_LAGS})"
+MIN_LAGS="${TPU_GATE_MIN_LAGS:-$DEF_MIN_LAGS}"   # throughput regression floor
 MAX_RELERR="${TPU_GATE_MAX_RELERR:-1e-11}"  # f64 contract
-# deep-chain rung floors (scripts/deep_gate.py: N=2^17, P=16, f64 —
-# measured 7.5e10 lags/s; the floor catches a >=20% regression or a
-# silent dispatch regression off the deep path, the blind spot that
-# let the round-2 trace-gate incident through)
-MIN_DEEP_LAGS="${TPU_GATE_MIN_DEEP_LAGS:-6.0e10}"
+MIN_DEEP_LAGS="${TPU_GATE_MIN_DEEP_LAGS:-$DEF_MIN_DEEP_LAGS}"
 
 echo "== on-TPU equivalence suite =="
 TRANSPORT_ANALYSIS_TPU_TEST_TPU=1 python -m pytest \

@@ -244,6 +244,61 @@ class TestAutoAtomChunk:
         # 46-coefficient (504 at 90 GB vs 85 at 15.25 GB)
         assert big >= 5 * 85
 
+    def test_budget_resolution_order(self, monkeypatch):
+        """Pin the budget source priority: explicit argument > env var
+        > live-device memory_stats > v5e constants (VERDICT r3 #5)."""
+        from transport_analysis_tpu.ops import acf
+
+        monkeypatch.delenv(
+            "TRANSPORT_ANALYSIS_TPU_HBM_BUDGET_GB", raising=False
+        )
+        # default: device returns None on CPU -> v5e deep constant
+        assert acf.auto_atom_chunk(1048576, d=3) == 85
+
+        # simulated 95 GB chip: the device-derived budget grows the
+        # chunk as modeled (~6x the v5e budget -> ~6x the chunk)
+        monkeypatch.setattr(
+            acf, "_device_hbm_budget_gb", lambda deep: 90.0
+        )
+        dev_chunk = acf.auto_atom_chunk(1048576, d=3)
+        assert dev_chunk == acf.auto_atom_chunk(
+            1048576, d=3, hbm_budget_gb=90.0
+        )
+        assert dev_chunk >= 5 * 85
+
+        # env var overrides the device-derived budget
+        monkeypatch.setenv(
+            "TRANSPORT_ANALYSIS_TPU_HBM_BUDGET_GB", "15.25"
+        )
+        assert acf.auto_atom_chunk(1048576, d=3) == 85
+
+        # explicit argument overrides everything
+        assert (
+            acf.auto_atom_chunk(1048576, d=3, hbm_budget_gb=90.0)
+            == dev_chunk
+        )
+
+    def test_device_budget_scales_with_reported_capacity(
+        self, monkeypatch
+    ):
+        from transport_analysis_tpu.ops import acf
+
+        class _FakeDev:
+            def memory_stats(self):
+                return {"bytes_limit": int(95e9)}
+
+        monkeypatch.setattr(
+            acf.jax, "default_backend", lambda: "tpu"
+        )
+        monkeypatch.setattr(
+            acf.jax, "local_devices", lambda: [_FakeDev()]
+        )
+        deep = acf._device_hbm_budget_gb(True)
+        eng = acf._device_hbm_budget_gb(False)
+        # v5e headroom fractions applied to the reported 95 GB
+        assert deep == pytest.approx(95.0 * 15.25 / 15.75, rel=1e-12)
+        assert eng == pytest.approx(95.0 * 12.0 / 15.75, rel=1e-12)
+
     def test_out_of_core_accepts_auto(self, tmp_path):
         # default atom_chunk="auto" resolves and matches explicit int
         from transport_analysis_tpu.parallel.out_of_core import (

@@ -41,6 +41,42 @@ def next_pow_2(n: int) -> int:
     return m
 
 
+_V5E_USABLE_GB = 15.75  # usable HBM measured on the 16 GB v5e anchor
+_V5E_ENGINE_BUDGET_GB = 12.0  # see auto_atom_chunk docstring
+_V5E_DEEP_BUDGET_GB = 15.25
+
+
+def _device_hbm_budget_gb(deep: bool) -> float | None:
+    """HBM budget derived from the live device's ``memory_stats()``.
+
+    The v5e constants in :func:`auto_atom_chunk` encode measured
+    headroom (prepare-stage transients, engine constants, allocator
+    fragmentation) as a FRACTION of usable HBM — a quantity that
+    transfers across chips better than absolute GB. On a chip that
+    reports its capacity (e.g. a 95 GB v5p) the budget scales with it;
+    returns None when unavailable so the caller falls back to the
+    v5e-anchored constants. The axon-tunneled v5e this repo develops
+    on returns None from ``memory_stats()``, and the CPU backend is
+    skipped deliberately: virtual-device test meshes must keep the
+    deterministic v5e constants.
+    """
+    if jax.default_backend() in ("cpu",):
+        return None
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+    except Exception:  # pragma: no cover - backend-dependent
+        return None
+    if not stats:
+        return None
+    limit = stats.get("bytes_limit") or stats.get(
+        "bytes_reservable_limit"
+    )
+    if not limit:
+        return None
+    anchor = _V5E_DEEP_BUDGET_GB if deep else _V5E_ENGINE_BUDGET_GB
+    return (limit / 1e9) * (anchor / _V5E_USABLE_GB)
+
+
 def auto_atom_chunk(
     n_frames: int, d: int = 3, hbm_budget_gb: float | None = None,
     dtype=jnp.float64,
@@ -73,27 +109,34 @@ def auto_atom_chunk(
       modeled 11.3 GB — which OOMs on hardware; chunk=1024 runs the
       100k-atom slice at 66 s).
 
-    Budget defaults per branch: engine 12 GB (on a 16 GB v5e every
-    configuration with a modeled peak <= 10.7 GB ran, and both
-    13.4 GB configs OOMed — prepare-stage transients + engine
-    constants + allocator fragmentation eat the nominal headroom);
-    deep 15.25 GB, chosen so the 46-coefficient model admits exactly
-    the hardware-proven rungs (N=2^20 chunk=85 at modeled 15.20,
-    measured envelope ~15.0 of 15.75 usable; N=2^18 chunk=341 at
-    modeled 15.21) and rejects the OOMing chunk=107 (modeled 18.1).
-    The deep model is ~5% conservative for VACF-only callers (no
-    held |a|² operand). Override per call or via
-    TRANSPORT_ANALYSIS_TPU_HBM_BUDGET_GB for other parts.
+    Budget resolution order: the ``hbm_budget_gb`` argument, then the
+    TRANSPORT_ANALYSIS_TPU_HBM_BUDGET_GB env var, then the live
+    device's reported capacity scaled by the v5e-anchored headroom
+    fraction (:func:`_device_hbm_budget_gb` — so a 95 GB v5p gets a
+    ~6x budget automatically), then the v5e constants: engine 12 GB
+    (on a 16 GB v5e every configuration with a modeled peak
+    <= 10.7 GB ran, and both 13.4 GB configs OOMed — prepare-stage
+    transients + engine constants + allocator fragmentation eat the
+    nominal headroom); deep 15.25 GB, chosen so the 46-coefficient
+    model admits exactly the hardware-proven rungs (N=2^20 chunk=85
+    at modeled 15.20, measured envelope ~15.0 of 15.75 usable;
+    N=2^18 chunk=341 at modeled 15.21) and rejects the OOMing
+    chunk=107 (modeled 18.1). The deep model is ~5% conservative for
+    VACF-only callers (no held |a|² operand).
     """
     import os as _os
 
     if hbm_budget_gb is None:
         env = _os.environ.get("TRANSPORT_ANALYSIS_TPU_HBM_BUDGET_GB")
+        deep = 2 * next_pow_2(n_frames) > 65536
         if env is not None:
             hbm_budget_gb = float(env)
         else:
-            m0 = 2 * next_pow_2(n_frames)
-            hbm_budget_gb = 12.0 if m0 <= 65536 else 15.25
+            hbm_budget_gb = _device_hbm_budget_gb(deep)
+        if hbm_budget_gb is None:
+            hbm_budget_gb = (
+                _V5E_DEEP_BUDGET_GB if deep else _V5E_ENGINE_BUDGET_GB
+            )
     budget = hbm_budget_gb * 1e9
     # chain stages are f32 pairs regardless of input dtype; only the
     # held SOURCE scales with the input itemsize. (In practice the

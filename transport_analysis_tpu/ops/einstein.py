@@ -32,9 +32,6 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .acf import raw_autocorr_sumlast
-
-
 @partial(jax.jit, static_argnames=("reduce_mode", "n_lags"))
 def _einstein_windowed_impl(
     a: jax.Array, reduce_mode: str, n_lags: int
@@ -126,10 +123,20 @@ def _prefix_sum_pairscan(x: jax.Array) -> jax.Array:
     the HBM speed of light is ~6 ms (benchmarks/micro_prefix.py). The
     pair scan runs log2(128)=7 shifted compensated adds on the data
     in its NATIVE layout: every f32 TwoSum is error-free, the only
-    roundings are the lo-plane folds (~7·2^-48 relative), and the
-    block totals combine in true f64 — ~1e-13 worst-case relative
-    error, far inside both the 1e-12 test gate and the package's
-    1e-11 contract.
+    roundings are the lo-plane folds (~7·2^-48 relative). The block
+    totals combine by recursing through _prefix_sum_blocked, which on
+    the TPU f64 path routes back into THIS pair scan — so the combine
+    is also compensated f32-pair arithmetic, not native f64; with
+    recursion depth ≤ 3 at N = 2^20 the end-to-end error is measured
+    ~2e-14 relative at N = 2^17, far inside both the 1e-12 test gate
+    and the package's 1e-11 contract.
+
+    Range note: the hi/lo planes are float32, so this function assumes
+    inputs and 128-row running block sums stay inside f32's dynamic
+    range (~1.2e-38 … 3.4e38); values outside it would overflow to inf
+    or flush to zero despite the float64 signature. TPU emulated f64
+    already carries an f32 exponent, so nothing reaching this path on
+    TPU can exceed it; the function is not used off-TPU.
     """
     n, p = x.shape
     b = _PREFIX_BLOCK
