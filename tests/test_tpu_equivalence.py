@@ -437,3 +437,33 @@ def test_model_vacf_float32_fast_mode_on_hardware():
     ref = acf_fft_numpy(vel.astype(np.float64)).mean(axis=1)
     scale = np.abs(ref).max()
     assert np.max(np.abs(got - ref)) / scale < 1e-4
+
+
+def test_pallas_kneller_assembly_on_hardware():
+    """The fused window-sum kernels (ops/pallas_kneller.py) against a
+    host float64 oracle at a lane-padded shape (P=130 > 128)."""
+    from transport_analysis_tpu.ops import pallas_kneller as pk
+
+    rng = np.random.RandomState(9)
+    n, p, d = 2048, 130, 3
+    a = rng.normal(0, 1.5, (n, p, d))
+    a -= a.mean(axis=0, keepdims=True)
+    sq = np.sum(a * a, axis=-1)
+    flat = a.reshape(n, p * d)
+    f = np.fft.rfft(flat, n=4 * n, axis=0)
+    corr = np.fft.irfft(f * np.conj(f), n=4 * n, axis=0)[:n]
+    corr = corr.reshape(n, p, d).sum(axis=-1)
+
+    import jax.numpy as jnp
+
+    got = np.asarray(pk.einstein_assembly(
+        jnp.asarray(sq), jnp.asarray(corr), "mean", d))
+    css = np.cumsum(sq, axis=0)
+    total = css[-1]
+    prev = np.concatenate([np.zeros((1, p)), css[:-1]])
+    lags = np.arange(n)
+    raw = css[n - 1 - lags] + total[None] - prev - 2.0 * corr
+    want = raw / (n - lags)[:, None] / d
+    want[0] = 0.0
+    rel = np.max(np.abs(got - want)) / np.abs(want).max()
+    assert rel < 1e-11

@@ -58,8 +58,16 @@ _Z0 = np.int32(0)   # index-map constant (see pallas_fft)
 _MAX_OUTER = 256
 # 128-column tiles keep the single-shot inner transform at M = 65536,
 # B = outer*w inside HBM (wt = 256 peaks ~16.3 GB at the 1M-frame
-# demo shape — 0.5 GB over this chip)
-_DEEP_WT = 128
+# demo shape — 0.5 GB over this chip). Overridable for grid-overhead
+# probes (benchmarks/roofline.py): wider tiles cut the engine levels'
+# grid-step count 1/wt at ~wt*4 KB/plane more VMEM per step.
+import os as _os_wt
+
+_DEEP_WT = int(_os_wt.environ.get("TRANSPORT_ANALYSIS_TPU_DEEP_WT", 128))
+if _DEEP_WT <= 0 or _DEEP_WT % 128:
+    raise ValueError(
+        "TRANSPORT_ANALYSIS_TPU_DEEP_WT must be a positive multiple "
+        f"of 128, got {_DEEP_WT}")
 
 
 def supported(m: int, s: int) -> bool:
