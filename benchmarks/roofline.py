@@ -55,9 +55,11 @@ V5P_BF16_TFLOPS = 459.0
 
 
 def fence(arrs):
+    # reduction fence: ravel[-1:] compiles a device copy of the whole
+    # array (OOMs next to the 4-plane stage sets); a sum reads it once
     if not isinstance(arrs, (tuple, list)):
         arrs = (arrs,)
-    np.asarray(jnp.ravel(arrs[0])[-1:])
+    np.asarray(jnp.sum(arrs[0]))
 
 
 def fence_rtt():
@@ -105,7 +107,9 @@ def main():
         "assembly": 5 * sq_b,  # pallas kneller: split+2 passes+finish
     }
 
-    def chain_once(x, wt, prof):
+    def chain_once(xbox, wt, prof):
+        x = xbox.pop()
+        fence(x)
         n_bands, max_group = prof
         walls = {}
         tables = da._outer_kernel_tables(inner, outer, n_bands)
@@ -117,8 +121,12 @@ def main():
             walls[name] = time.perf_counter() - t0 - rtt
             return out
 
-        pair = stage("prepare",
-                     lambda: da._prepare_pair(x, inner, outer, w, s))
+        # consume discipline: the f64 source must not survive the
+        # prepare stage (a held 2.1 GB source OOMs engine_inv)
+        box = [x]
+        del x
+        pair = stage("prepare", lambda: da._prepare_pair(
+            box.pop(), inner, outer, w, s))
         pair = stage("engine_fwd",
                      lambda: pf.fft_banded_pair(pair, wt=wt))
         pair = stage("outer_fwd", lambda: da._outer_level_pallas(
@@ -157,9 +165,7 @@ def main():
             tag = f"{pname}/wt={wt}"
             best = {}
             for r in range(args.reps):
-                x = synth(r)
-                fence(x)
-                walls, _ = chain_once(x, wt, prof)
+                walls, _ = chain_once([synth(r)], wt, prof)
                 for k, v in walls.items():
                     best[k] = min(best.get(k, 1e9), v)
             # helfand extras (profile-independent; once per tag)

@@ -134,6 +134,7 @@ def correlate_spools(
     n_particles: int,
     checkpoint: Optional[str] = None,
     prefetch: bool = True,
+    stats: Optional[dict] = None,
 ) -> np.ndarray:
     """Pass 2: run ``kernel((N, chunk, d)) → (L,) or (L, chunk)``
     over each spool and return the particle-mean timeseries (L,).
@@ -148,7 +149,17 @@ def correlate_spools(
     ``prefetch`` reads spool c+1 on a background thread while the
     device correlates chunk c — the sequential disk read rides inside
     the chunk wall instead of after it (steady-state feed of the
-    north-star plan; host RAM holds at most two chunks)."""
+    north-star plan; host RAM holds at most two chunks).
+
+    ``stats``: pass a dict to receive per-chunk walls:
+    ``read_s`` (disk read per spool, on the reader thread),
+    ``stall_s`` (time the consumer waited for its block — the part of
+    the read NOT hidden under compute), ``kernel_s`` (device
+    correlate+readback per chunk). With prefetch, feed-overlap
+    fraction = 1 - sum(stall)/sum(read) (first chunk's read is
+    unhideable and excluded from the overlap accounting)."""
+    import time as _time
+
     acc = None
     start = 0
     if checkpoint and os.path.exists(checkpoint):
@@ -157,11 +168,18 @@ def correlate_spools(
             acc = state["acc"]
             start = int(state["next_spool"])
 
+    read_s: list = []
+    stall_s: list = []
+    kernel_s: list = []
+
     def _read(c):
         # full sequential read (NOT mmap page faults mid-kernel): the
         # block is handed to the device feed as one contiguous buffer
+        t0 = _time.perf_counter()
         with open(paths[c], "rb") as fh:
-            return np.lib.format.read_array(fh)
+            out = np.lib.format.read_array(fh)
+        read_s.append(_time.perf_counter() - t0)
+        return out
 
     todo = range(start, len(paths))
     if prefetch and len(todo) > 1:
@@ -175,12 +193,21 @@ def correlate_spools(
                 q.put(_read(c))
 
         threading.Thread(target=loop, daemon=True).start()
-        blocks = (q.get() for _ in todo)
+
+        def _get():
+            t0 = _time.perf_counter()
+            out = q.get()
+            stall_s.append(_time.perf_counter() - t0)
+            return out
+
+        blocks = (_get() for _ in todo)
     else:
         blocks = (_read(c) for c in todo)
 
     for c, block in zip(todo, blocks):
+        t0 = _time.perf_counter()
         result = np.asarray(kernel(block))
+        kernel_s.append(_time.perf_counter() - t0)
         del block
         if acc is None:
             acc = np.zeros(result.shape[0], np.float64)
@@ -191,6 +218,10 @@ def correlate_spools(
                 np.savez(fh, acc=acc, next_spool=c + 1,
                          n_particles=n_particles)
             os.replace(tmp, checkpoint)
+    if stats is not None:
+        stats["read_s"] = read_s
+        stats["stall_s"] = stall_s
+        stats["kernel_s"] = kernel_s
     return acc / max(n_particles, 1)
 
 
