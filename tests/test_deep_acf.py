@@ -334,3 +334,43 @@ class TestUnpackToPair:
         np.testing.assert_allclose(got_im, -p2, atol=1e-8 * scale)
         # pair split must be much tighter than one f32 ulp of the value
         assert np.max(np.abs(got_re - p1)) <= 1e-12 * scale
+
+
+class TestPallasUnpack:
+    """The Pallas streaming unpack (interpret mode on CPU) against the
+    slabbed XLA formulation — same inputs, same output contract."""
+
+    def test_matches_xla_unpack(self):
+        from transport_analysis_tpu.ops import deep_acf as D
+        from transport_analysis_tpu.ops import pallas_fft as PF
+
+        inner, outer, w = 1024, 2, 64
+        rng = np.random.default_rng(5)
+        cols = w * outer
+        zrh, zrl = PF._split_pair(
+            jnp.asarray(rng.normal(0, 3, (inner, cols))))
+        zih, zil = PF._split_pair(
+            jnp.asarray(rng.normal(0, 3, (inner, cols))))
+
+        want = D._unpack_to_pair_dif(
+            zrh + 0, zrl + 0, zih + 0, zil + 0, inner, outer, w)
+        got = D._unpack_to_pair_dif_pallas(
+            zrh, zrl, zih, zil, inner=inner, outer=outer, w=w)
+        for g, t in zip(got, want):
+            g64 = np.asarray(g, np.float64)
+            t64 = np.asarray(t, np.float64)
+            scale = max(np.abs(t64).max(), 1.0)
+            assert np.max(np.abs(g64 - t64)) / scale < 1e-13
+
+    def test_dispatch_gates(self, monkeypatch):
+        from transport_analysis_tpu.ops import deep_acf as D
+
+        calls = {}
+        monkeypatch.setattr(
+            D, "_unpack_to_pair_dif",
+            lambda *a, **k: calls.setdefault("xla", True) or (None,))
+        monkeypatch.setenv("TRANSPORT_ANALYSIS_TPU_NO_PALLAS_UNPACK",
+                           "1")
+        z = jnp.zeros((1024, 128), jnp.float32)
+        D._unpack_dispatch(z, z, z, z, 1024, 2, 64)
+        assert calls.get("xla")

@@ -438,6 +438,130 @@ def _unpack_to_pair_dif(zrh, zrl, zih, zil, inner: int, outer: int,
     return jax.lax.fori_loop(0, half // ll, body, init)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("inner", "outer", "w"))
+def _unpack_rev_planes(zrh, zrl, zih, zil, inner: int, outer: int,
+                       w: int):
+    """The Hermitian-mirror operand R[k] = Z[(M-k) mod M] of each f32
+    plane, materialized by XLA relayouts (flip + roll + lane mirror,
+    row 0 special-cased — the same index algebra as the slabbed
+    path's rev()). Feeds the Pallas unpack kernel, which then needs
+    no in-kernel reversal (Mosaic has no `rev` lowering)."""
+    def rev(z):
+        r = _mirror_lanes(
+            jnp.roll(jnp.flip(z, axis=0), 1, axis=0), w, outer)
+        r0 = _mirror_lanes_row0(z[:1], w, outer)
+        return jnp.concatenate([r0, r[1:]], axis=0)
+
+    return rev(zrh), rev(zrl), rev(zih), rev(zil)
+
+
+def _unpack_kernel_body(zrh_ref, zrl_ref, zih_ref, zil_ref,
+                        rrh_ref, rrl_ref, rih_ref, ril_ref,
+                        orh_ref, orl_ref, oih_ref, oil_ref):
+    """Fused Hermitian unpack + power spectra + conjugate pair split
+    on one block, in double-float pair arithmetic (the same algebra
+    and grade as the engine's _inva_kernel_body; in interpret mode the
+    Dekker products in _df_sq would be broken by XLA:CPU's FMA
+    contraction, so the CPU path combines to f64 — exact there)."""
+    from . import pallas_fft as _p
+
+    zrh, zrl = zrh_ref[:], zrl_ref[:]
+    zih, zil = zih_ref[:], zil_ref[:]
+    mrh, mrl = rrh_ref[:], rrl_ref[:]
+    mih, mil = rih_ref[:], ril_ref[:]
+
+    if _p._interpret():
+        f64 = jnp.float64
+        zr = zrh.astype(f64) + zrl.astype(f64)
+        zi = zih.astype(f64) + zil.astype(f64)
+        rr = mrh.astype(f64) + mrl.astype(f64)
+        ri = mih.astype(f64) + mil.astype(f64)
+        f1r = 0.5 * (zr + rr)
+        f1i = 0.5 * (zi - ri)
+        f2r = 0.5 * (zi + ri)
+        f2i = 0.5 * (rr - zr)
+        p1 = f1r * f1r + f1i * f1i
+        p2 = -(f2r * f2r + f2i * f2i)
+        h1 = p1.astype(jnp.float32)
+        h2 = p2.astype(jnp.float32)
+        orh_ref[:] = h1
+        orl_ref[:] = (p1 - h1.astype(f64)).astype(jnp.float32)
+        oih_ref[:] = h2
+        oil_ref[:] = (p2 - h2.astype(f64)).astype(jnp.float32)
+        return
+
+    f1r = _p._half(*_p._df_add(zrh, zrl, mrh, mrl))
+    f1i = _p._half(*_p._df_add(zih, zil, -mih, -mil))
+    f2r = _p._half(*_p._df_add(zih, zil, mih, mil))
+    f2i = _p._half(*_p._df_add(mrh, mrl, -zrh, -zrl))
+    p1h, p1l = _p._df_add(*_p._df_sq(*f1r), *_p._df_sq(*f1i))
+    p2h, p2l = _p._df_add(*_p._df_sq(*f2r), *_p._df_sq(*f2i))
+    orh_ref[:] = p1h
+    orl_ref[:] = p1l
+    oih_ref[:] = -p2h
+    oil_ref[:] = -p2l
+
+
+@functools.partial(
+    jax.jit, static_argnames=("inner", "outer", "w"),
+    donate_argnums=(0, 1, 2, 3))
+def _unpack_to_pair_dif_pallas(zrh, zrl, zih, zil, inner: int,
+                               outer: int, w: int):
+    """Pallas formulation of _unpack_to_pair_dif: one XLA relayout
+    pass materializes the Hermitian-mirror planes (block-level row
+    reversal would otherwise need an in-kernel `rev`, which Mosaic
+    does not lower, or an O(block²) permutation matmul — measured far
+    too slow), then ONE streaming kernel does the pair-domain unpack
+    algebra with the direct operands aliased onto the outputs.
+
+    vs the slabbed XLA path (hardware, N=2^20 chunk): the fori_loop
+    dynamic_update_slice carries copied ~0.85 spectra sets per call
+    (the 46·M·w HBM anchor of auto_atom_chunk) and the emulated-f64
+    slab algebra ran at 43-47 GB/s; this path's peak is in + rev + out
+    (out aliased onto in) and the kernel streams at f32 rates."""
+    cols = zrh.shape[1]
+    rr = _unpack_rev_planes(zrh, zrl, zih, zil, inner, outer, w)
+
+    rows = 512
+    cb = 512 if cols % 512 == 0 else (256 if cols % 256 == 0 else 128)
+    spec = pl.BlockSpec((rows, cb), lambda r, c: (r, c),
+                        memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+    return pl.pallas_call(
+        _unpack_kernel_body,
+        grid=(inner // rows, cols // cb),
+        in_specs=[spec] * 8,
+        out_specs=(spec,) * 4,
+        out_shape=(jax.ShapeDtypeStruct((inner, cols), f32),) * 4,
+        # direct operands: block (r, c) is read only by grid step
+        # (r, c), so the outputs may overwrite them in place — the
+        # mirror operands live in their own (transient) buffers
+        input_output_aliases={0: 0, 1: 1, 2: 2, 3: 3},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=_pf._interpret(),
+    )(zrh, zrl, zih, zil, *rr)
+
+
+def _unpack_dispatch(zrh, zrl, zih, zil, inner: int, outer: int,
+                     w: int):
+    """Unpack dispatch: Pallas streaming kernel on TPU backends (and
+    in interpret-mode tests), slabbed XLA fallback via
+    TRANSPORT_ANALYSIS_TPU_NO_PALLAS_UNPACK=1 or when the row/lane
+    grid does not divide (inner is always a multiple of 512 for
+    supported() transforms; cols = w·outer is a multiple of 128)."""
+    cols = zrh.shape[1]
+    if (
+        not _os.environ.get("TRANSPORT_ANALYSIS_TPU_NO_PALLAS_UNPACK")
+        and inner % 512 == 0
+        and cols % 128 == 0
+    ):
+        return _unpack_to_pair_dif_pallas(zrh, zrl, zih, zil,
+                                          inner, outer, w)
+    return _unpack_to_pair_dif(zrh, zrl, zih, zil, inner, outer, w)
+
+
 def _df_mul(ah, al, bh, bl):
     """Double-float product: exact ah*bh via a Dekker/Veltkamp split
     (no FMA on the VPU) plus first-order cross terms (~2^-46)."""
@@ -865,7 +989,7 @@ def _deep_chain_onejit(x, consts, tables, inner, outer, w, s, n_out,
     # corner turn vanishes, and keeping only n < n_out trims the
     # leg-2 engine's level 2 to the first _dif_rows rows — half its
     # int8 flops and write traffic for the usual n_out = M/2.
-    pair = _unpack_to_pair_dif(*pair, inner, outer, w)
+    pair = _unpack_dispatch(*pair, inner, outer, w)
     pair = _outer_level_pallas(
         *pair, *tables, inner=inner, outer=outer, w=w,
         n_bands=n_bands, max_group=max_group, dif=True)
@@ -975,7 +1099,7 @@ def raw_autocorr_deep(x, n_out: int, m: int = None,
     # on (p1 - i p2); neither full-M f64 spectra nor power spectra
     # are materialized, and the DIF leg-2 consumes the kernel layout
     # directly (no inter-leg corner turn; f64 only inside the slabs)
-    pair = _fence(*_unpack_to_pair_dif(*zp, inner, outer, w),
+    pair = _fence(*_unpack_dispatch(*zp, inner, outer, w),
                   tag="unpack_to_pair")
     del zp
     # DIF inverse-by-conjugation leg: outer DFT + post-twiddle, then
