@@ -221,18 +221,18 @@ def _center_and_sq_flat(a, d: int):
 
     Flattening FIRST matters on TPU: every elementwise op on an
     (N, P, 3) array runs at 3/128 lane occupancy (the minor dim maps
-    to vector lanes), and the d-axis reduction pays the same tax —
-    measured 85 ms at the N=2^20 north-star chunk where the flat
-    form's speed of light is ~10 ms. The d-component sum runs as
-    lane-strided slices of the full-width square array.
+    to vector lanes) — measured 85 ms at the N=2^20 north-star chunk
+    where the flat form's speed of light is ~10 ms. The d-component
+    sum reduces a reshape VIEW of the full-width square array: the
+    lane-STRIDED slice formulation (c2[:, j::d] adds) it replaces
+    serialized as lane gathers — hardware-measured 136 ms vs 61 ms
+    for this form, bit-identical output (same summation order).
     """
     N = a.shape[0]
     flat = a.reshape(N, -1)
     c = flat - jnp.mean(flat, axis=0, keepdims=True)
     c2 = c * c
-    sq = c2[:, 0::d]
-    for j in range(1, d):
-        sq = sq + c2[:, j::d]
+    sq = jnp.sum(c2.reshape(N, -1, d), axis=-1)
     return c, sq
 
 
