@@ -231,8 +231,17 @@ def deep_rung():
     xd = jnp.asarray(x * 2.0)
     np.asarray(jnp.sum(xd))  # fence the feed out of the timed region
     t0 = time.perf_counter()
-    np.asarray(ops.acf_fft(xd).sum(axis=1))  # readback fences
+    timed_sum = np.asarray(ops.acf_fft(xd).sum(axis=1))  # readback fences
     wall = time.perf_counter() - t0
+
+    # correctness witness for the TIMED run (round-4 advisor): the
+    # exact pow2 scaling means acf(2x) = 4*acf(x) bit-for-bit in the
+    # input, so the timed particle sum must equal 4x the warm run's
+    denom = np.abs(got.sum(axis=1)).max()
+    scale_err = np.abs(timed_sum - 4.0 * got.sum(axis=1)).max() / denom
+    assert scale_err < 1e-11, (
+        f"timed deep-rung output diverged from the warm run: "
+        f"{scale_err:.3e}")
 
     # reference structure: tidynamics-style FFT acf, serial per
     # particle (velocityautocorr.py:210-213), on the host in f64

@@ -33,7 +33,7 @@ S = 255           # chunk=85 x d=3
 M = 2 * N
 INNER, OUTER = DA._split_m(M)
 HALF = (S + 1) // 2
-W = -(-HALF // DA._DEEP_WT) * DA._DEEP_WT
+W = -(-HALF // DA._deep_wt()) * DA._deep_wt()
 SUM_D = 0
 
 

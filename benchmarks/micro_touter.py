@@ -95,7 +95,7 @@ timeit_big(
 
 # c. engine alone (donates its pair input)
 timeit_big("c. fft_banded_pair (engine)",
-           lambda p: PF.fft_banded_pair(p, wt=DA._DEEP_WT))
+           lambda p: PF.fft_banded_pair(p, wt=DA._deep_wt()))
 
 
 # d. _prepare_pair ((M, s) f64 -> engine-layout pair)
@@ -179,7 +179,7 @@ def _gen_l1(seed):
 
 import functools
 
-_nw = B // DA._DEEP_WT
+_nw = B // DA._deep_wt()
 
 
 @jax.jit
@@ -199,7 +199,7 @@ def _l1(lre, lim, rh, rl, ih, il, s):
     return PF._banded_level(
         lre, lim, (rh, rl, ih, il), s, 128,
         True, _nw, transposed_out=True, n_bands=n_bands_e,
-        max_group=max_group_e, wt=DA._DEEP_WT)[0]
+        max_group=max_group_e, wt=DA._deep_wt())[0]
 
 
 @jax.jit
@@ -219,7 +219,7 @@ def _l2(lre, lim, rh, rl, ih, il, s):
     return PF._banded_level(
         lre, lim, (rh, rl, ih, il), s, N2, False, _nw,
         n_bands=n_bands_e, max_group=max_group_e,
-        wt=DA._DEEP_WT)[0]
+        wt=DA._deep_wt())[0]
 
 
 @jax.jit

@@ -132,9 +132,15 @@ def main():
             "read_s": [round(v, 2) for v in stats.get("read_s", [])],
             "stall_s": [round(v, 2) for v in stats.get("stall_s", [])],
             "kernel_s": [round(v, 2) for v in stats.get("kernel_s", [])],
-            "steady_overlap_frac": round(
-                1.0 - sum(stats.get("stall_s", [0])[1:])
-                / max(sum(stats.get("read_s", [0])[1:]), 1e-9), 3),
+            # null when there is no steady state to speak of (prefetch
+            # off, or a single-chunk run) — sum([])/eps would otherwise
+            # report a fictitious perfect 1.0 (round-4 advisor finding)
+            "steady_overlap_frac": (
+                round(
+                    1.0 - sum(stats["stall_s"][1:])
+                    / max(sum(stats["read_s"][1:]), 1e-9), 3)
+                if len(stats.get("read_s", [])) >= 2
+                and len(stats.get("stall_s", [])) >= 2 else None),
         },
     }))
     if not args.keep_dir:

@@ -186,8 +186,6 @@ def main():
             best["assembly"] = time.perf_counter() - t0 - rtt
             del out, sq, corr
             results[tag] = {k: round(v, 4) for k, v in best.items()}
-            if ctx and wt != wts[-1]:
-                pass
         if ctx:
             ctx.__exit__(None, None, None)
 
@@ -195,8 +193,13 @@ def main():
     ref = results[f"exact/wt={wts[0]}"]
     table = {}
     for k, wall in ref.items():
+        # min-over-reps walls carry the fence RTT subtracted, so a
+        # stage faster than the RTT jitter can come out <= 0: clamp to
+        # a small positive floor so achieved GB/s stays meaningful
+        # (round-4 advisor finding)
+        wall = max(wall, 1e-6)
         gb = traffic.get(k, 0) / 1e9
-        gbs = gb / wall if wall > 0 else 0
+        gbs = gb / wall
         frac = min(1.0, gbs / V5E_HBM_GBS)
         table[k] = {
             "wall_s": wall,

@@ -6,9 +6,17 @@ N=8192 engine shape; scripts/deep_gate.py 7.5e10 at the N=2^17 deep
 rung — floors set ~20% under the measured values). On any other chip
 those absolute numbers would either misfire (slower chip) or silently
 sandbag (faster chip), so this script detects the device kind and
-scales the v5e floors by the chips' HBM-bandwidth ratio — both gated
-paths are traffic-bound on the v5e (BENCH_NOTES per-stage roofline),
-so bandwidth is the first-order transfer factor.
+scales the v5e floors by the chips' COMPUTE ratio (bf16 TFLOP/s — the
+VPU scales with the same clock/core factors to first order).
+
+Why compute and not HBM bandwidth: the round-7 per-stage roofline
+(benchmarks/roofline.py, BENCH_NOTES "Per-stage roofline") measured
+that NO stage of either gated path reaches 25% of the v5e's 819 GB/s —
+the chains are compute/VPU-bound, not traffic-bound. Scaling floors by
+the HBM ratio (the pre-round-5 behavior) over-promised on bigger
+chips: a v5p's bandwidth is 3.38x the v5e but its compute only 2.33x,
+so bandwidth-scaled floors would spuriously FAIL the gate on exactly
+the hardware the north star targets.
 
 Prints ONE line: "<min_lags> <min_deep_lags> <device kind>".
 Env overrides (TPU_GATE_MIN_LAGS / TPU_GATE_MIN_DEEP_LAGS) are applied
@@ -21,15 +29,16 @@ import jax
 
 _V5E_FLOORS = (1.0e12, 6.0e10)
 
-# HBM-bandwidth ratios vs the v5e anchor (819 GB/s):
-# v4 1228 GB/s, v5p 2765 GB/s, v6e (Trillium) 1640 GB/s.
+# bf16-compute ratios vs the v5e anchor (197 TFLOP/s bf16):
+# v4 275 TFLOP/s -> 1.4, v5p 459 -> 2.33, v6e (Trillium) 918 -> 4.66.
+# Deliberately NOT the HBM-bandwidth ratios (module docstring).
 _SCALE = {
     "TPU v5 lite": 1.0,
-    "TPU v4": 1.5,
-    "TPU v5": 3.3,
-    "TPU v5p": 3.3,
-    "TPU v6 lite": 2.0,
-    "TPU v6e": 2.0,
+    "TPU v4": 1.4,
+    "TPU v5": 2.33,
+    "TPU v5p": 2.33,
+    "TPU v6 lite": 4.66,
+    "TPU v6e": 4.66,
 }
 
 

@@ -98,6 +98,14 @@ class TestViscosityHelfand:
         with pytest.raises(NoDataError, match="requires"):
             VH(u.atoms, engine="frame").run()
 
+    def test_no_volume_frame_block(self):
+        # the frame_block= streamed feed's _process_block has its own
+        # volume==0 branch (models/viscosity.py); exercise it directly
+        u = ta.Universe.empty(3, n_frames=6, velocities=True)
+        u.add_TopologyAttr("masses", np.ones(3))
+        with pytest.raises(NoDataError, match="requires"):
+            VH(u.atoms, frame_block=2).run()
+
     def test_updating_ag_rejected(self, u_random):
         updating_ag = u_random.select_atoms(
             "around 3.5 resid 1", updating=True

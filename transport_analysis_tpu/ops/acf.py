@@ -470,7 +470,9 @@ def _windowed_pallas_ok(dtype, n: int) -> bool:
     """
     import os
 
-    if jax.default_backend() in ("cpu", "gpu", "cuda", "rocm"):
+    from .pallas_fft import is_tpu_backend
+
+    if not is_tpu_backend():
         return False
     if os.environ.get("TRANSPORT_ANALYSIS_TPU_NO_PALLAS_LAG"):
         return False

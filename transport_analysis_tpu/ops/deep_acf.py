@@ -63,16 +63,30 @@ _MAX_OUTER = 256
 # grid-step count 1/wt at ~wt*4 KB/plane more VMEM per step.
 import os as _os_wt
 
-_DEEP_WT = int(_os_wt.environ.get("TRANSPORT_ANALYSIS_TPU_DEEP_WT", 128))
-if _DEEP_WT <= 0 or _DEEP_WT % 128:
-    raise ValueError(
-        "TRANSPORT_ANALYSIS_TPU_DEEP_WT must be a positive multiple "
-        f"of 128, got {_DEEP_WT}")
+
+@functools.lru_cache(maxsize=1)
+def _deep_wt() -> int:
+    """Engine tile width for the deep chain, parsed LAZILY: a
+    malformed env value must fail the deep-chain call that consumes
+    it, not make the whole package unimportable (round-4 advisor
+    finding)."""
+    raw = _os_wt.environ.get("TRANSPORT_ANALYSIS_TPU_DEEP_WT", "128")
+    try:
+        wt = int(raw)
+    except ValueError:
+        raise ValueError(
+            "TRANSPORT_ANALYSIS_TPU_DEEP_WT must be an integer "
+            f"multiple of 128, got {raw!r}") from None
+    if wt <= 0 or wt % 128:
+        raise ValueError(
+            "TRANSPORT_ANALYSIS_TPU_DEEP_WT must be a positive "
+            f"multiple of 128, got {wt}")
+    return wt
 
 
 def supported(m: int, s: int) -> bool:
     """Deep-composition eligibility (engine-ineligible M only)."""
-    if jax.default_backend() in ("cpu", "gpu", "cuda", "rocm"):
+    if not _pf.is_tpu_backend():
         return False
     if s < 2 or m & (m - 1):
         return False
@@ -865,7 +879,7 @@ def _deep_fft_fwd_pair(pair, inner: int, outer: int, w: int,
     # float32 inputs ride the lighter 4-band profile
     n_bands, max_group = (profile if profile is not None
                           else _pf._profile(jnp.float64))
-    pair = _pf.fft_banded_pair(pair, wt=_DEEP_WT)
+    pair = _pf.fft_banded_pair(pair, wt=_deep_wt())
     pair = _fence(*pair, tag="engine")
     tables = _outer_kernel_tables(inner, outer, n_bands)
     pair = _outer_level_pallas(*pair, *tables, inner=inner,
@@ -895,7 +909,7 @@ def _deep_fft_inv_dif(pair, inner: int, outer: int, w: int,
                                max_group=max_group, dif=True)
     pair = _fence(*pair, tag="outer_dif")
     rows = _dif_rows(inner, outer, n_out)
-    pair = _pf.fft_banded_pair(pair, wt=_DEEP_WT,
+    pair = _pf.fft_banded_pair(pair, wt=_deep_wt(),
                                l2_rows=rows // 128)
     # the engine trims level 2 itself; the defensive slice below is a
     # no-op there and keeps the CPU fake-engine stand-in (a plain
@@ -978,7 +992,7 @@ def _deep_chain_onejit(x, consts, tables, inner, outer, w, s, n_out,
     hosts (IO, prefetch, decode threads) always have."""
     pair = _prepare_pair(x, inner, outer, w, s)
     pair = _pf._fft_fwd_impl(pair, consts, n_bands=n_bands,
-                             max_group=max_group, wt=_DEEP_WT)
+                             max_group=max_group, wt=_deep_wt())
     pair = _outer_level_pallas(
         *pair, *tables, inner=inner, outer=outer, w=w,
         n_bands=n_bands, max_group=max_group)
@@ -995,7 +1009,7 @@ def _deep_chain_onejit(x, consts, tables, inner, outer, w, s, n_out,
         n_bands=n_bands, max_group=max_group, dif=True)
     rows = _dif_rows(inner, outer, n_out)
     pair = _pf._fft_fwd_impl(pair, consts, n_bands=n_bands,
-                             max_group=max_group, wt=_DEEP_WT,
+                             max_group=max_group, wt=_deep_wt(),
                              l2_rows=rows // 128)
     (out,) = _inv_from_kernel_dif(*pair, inner=inner, outer=outer,
                                   w=w, n_out=n_out, s=s, sum_d=sum_d)
@@ -1064,7 +1078,7 @@ def raw_autocorr_deep(x, n_out: int, m: int = None,
     inner, outer = _split_m(m)
 
     use_onejit = (
-        jax.default_backend() not in ("cpu", "gpu", "cuda", "rocm")
+        _pf.is_tpu_backend()
         and not _HBM_DEBUG
         and not _os.environ.get("TRANSPORT_ANALYSIS_TPU_DEEP_EAGER")
     )

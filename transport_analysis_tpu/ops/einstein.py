@@ -248,11 +248,17 @@ def _assembly(sq: jax.Array, reduce_mode: str, d: int,
     shapes run the fused Pallas window-sum kernels (ops/
     pallas_kneller.py — css never materializes in HBM; measured
     154 ms -> ~13 ms per north-star chunk), everything else the XLA
-    formulation below."""
+    formulation below. The TPU gate is an ALLOWLIST
+    (pallas_fft.is_tpu_backend): unknown backend names must take the
+    backend-agnostic XLA path, not crash in Mosaic lowering (round-4
+    advisor finding). The CPU interpret-mode kernels stay reachable
+    through the tests' direct einstein_assembly calls."""
     import os
 
+    from . import pallas_fft as _pfb
+
     if (
-        jax.default_backend() not in ("cpu", "gpu", "cuda", "rocm")
+        _pfb.is_tpu_backend()
         and not os.environ.get("TRANSPORT_ANALYSIS_TPU_NO_PALLAS_KNELLER")
     ):
         from . import pallas_kneller as _pk

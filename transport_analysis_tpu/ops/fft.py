@@ -61,14 +61,12 @@ def _use_ozaki(dtype) -> bool:
     the Ozaki banded bf16 path replaces them there. CPU and GPU float64
     GEMMs are native (and more accurate, ~1e-16 vs ~1e-14) so those
     backends stay on the direct path — only TPU-like backends (``tpu``
-    or a TPU plugin such as ``axon``) take the Ozaki route."""
+    or a TPU plugin such as ``axon``) take the Ozaki route (allowlist:
+    pallas_fft.is_tpu_backend)."""
     from . import ozaki
+    from .pallas_fft import is_tpu_backend
 
-    return (
-        dtype == jnp.float64
-        and jax.default_backend() not in ("cpu", "gpu", "cuda", "rocm")
-        and ozaki.enabled()
-    )
+    return dtype == jnp.float64 and is_tpu_backend() and ozaki.enabled()
 
 
 def complex_matmul(c, s, re, im):

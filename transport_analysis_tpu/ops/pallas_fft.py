@@ -107,6 +107,32 @@ def _interpret() -> bool:
     return jax.default_backend() in ("cpu",)
 
 
+@functools.lru_cache(maxsize=1)
+def is_tpu_backend() -> bool:
+    """ALLOWLIST gate for the Mosaic/Pallas production paths.
+
+    The hardware kernels only lower on TPU backends — ``tpu`` proper
+    or a TPU plugin whose devices still report a TPU ``device_kind``
+    (e.g. the tunneled ``axon`` runtime's "TPU v5 lite"). The
+    historical denylist (``backend not in cpu/gpu/...``) sent every
+    OTHER backend name (METAL, future plugins) into Mosaic lowering
+    crashes (round-4 advisor finding); unknown backends now fall back
+    to the backend-agnostic XLA paths instead. Cached per process —
+    the default backend cannot change under a running JAX program.
+    """
+    backend = jax.default_backend()
+    if backend in ("cpu", "gpu", "cuda", "rocm", "metal"):
+        return False
+    if backend == "tpu":
+        return True
+    try:
+        return any(
+            "tpu" in d.device_kind.lower() for d in jax.devices()
+        )
+    except Exception:  # pragma: no cover - exotic plugin backends
+        return False
+
+
 # ---------------------------------------------------------------------
 # constant preparation (device expansion of exact host trig tables)
 # ---------------------------------------------------------------------
@@ -701,7 +727,7 @@ def shape_supported(m: int, s: int) -> bool:
 def supported(m: int, s: int) -> bool:
     """Shapes this engine handles on this backend; others use
     ops/fft.py (CPU/GPU have native or faster paths)."""
-    if jax.default_backend() in ("cpu", "gpu", "cuda", "rocm"):
+    if not is_tpu_backend():
         return False
     return shape_supported(m, s)
 

@@ -302,7 +302,11 @@ def _lag_sums_transposed_pair(xh, xl, n_lags, mode, interpret=False):
 
 
 def _supports_pallas() -> bool:
-    return jax.default_backend() not in ("cpu",)
+    """Hardware Mosaic lowering only on TPU backends (allowlist);
+    anything else runs the kernels in interpret mode."""
+    from .pallas_fft import is_tpu_backend
+
+    return is_tpu_backend()
 
 
 def pair_supported(n_frames: int) -> bool:
