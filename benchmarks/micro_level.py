@@ -217,6 +217,104 @@ def time_stages(m, b, wt, reps):
                                  wt=wt)
         return p2
 
+    @jax.jit
+    def fwd_chain2(x4, lre1, lim1, lre2, lim2):
+        # the REAL chain entry/exit: pair arrives (M, B), reshapes to
+        # the (128, n2*B) engine layout (free in linear memory, but a
+        # PHYSICAL relayout in the TPU's tiled layout), and the result
+        # reshapes back to k-major (M, B) at the end
+        pr = tuple(a.reshape(_N1, n2 * b) for a in x4)
+        s_in = pf._pow2_ceil_f32(jnp.maximum(
+            jnp.max(jnp.abs(pr[0]), axis=0, keepdims=True),
+            jnp.max(jnp.abs(pr[2]), axis=0, keepdims=True)))
+        p1, _ = pf._banded_level(lre1, lim1, pr, s_in, _N1, True, n_w,
+                                 transposed_out=True, n_bands=n_bands,
+                                 max_group=max_group, wt=wt)
+        s1 = pf._pow2_ceil_f32(jnp.max(
+            jnp.maximum(jnp.abs(p1[0]), jnp.abs(p1[2])),
+            axis=0).reshape(1, _N1 * b))
+        p1 = tuple(a.reshape(n2, _N1 * b) for a in p1)
+        p2, _ = pf._banded_level(lre2, lim2, p1, s1, n2, False, n_w,
+                                 n_bands=n_bands, max_group=max_group,
+                                 wt=wt)
+        return tuple(
+            a.reshape(n2, _N1, b).reshape(n2 * _N1, b) for a in p2)
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    import functools as ft
+
+    def _body3d(n_bands_, max_group_, lre_ref, lim_ref, rh_ref, rl_ref,
+                ih_ref, il_ref, s_ref, orh_ref, orl_ref, oih_ref,
+                oil_ref, omax_ref, rhs_scratch):
+        s = s_ref[:]
+        inv = 1.0 / s
+        sq = lambda r: r[:, 0, :]  # noqa: E731
+        rh, rl = sq(rh_ref) * inv, sq(rl_ref) * inv
+        ih, il = sq(ih_ref) * inv, sq(il_ref) * inv
+        k = rh.shape[0]
+        pf._slice_pair_into(rhs_scratch, 0, 2 * k, rh, rl, n_bands_)
+        pf._slice_pair_into(rhs_scratch, k, 2 * k, ih, il, n_bands_)
+        re_hi, re_lo = pf._merge(pf._grouped_dots(
+            lre_ref[0], rhs_scratch, 2 * k, n_bands_, max_group_))
+        im_hi, im_lo = pf._merge(pf._grouped_dots(
+            lim_ref[0], rhs_scratch, 2 * k, n_bands_, max_group_))
+        re_hi, re_lo, im_hi, im_lo = (
+            re_hi * s, re_lo * s, im_hi * s, im_lo * s)
+        orh_ref[0] = re_hi
+        orl_ref[0] = re_lo
+        oih_ref[0] = im_hi
+        oil_ref[0] = im_lo
+        omax_ref[:] = jnp.max(
+            jnp.maximum(jnp.abs(re_hi), jnp.abs(im_hi)),
+            axis=0, keepdims=True)
+
+    def _l1_3d(lre, lim, x4, scale):
+        """L1 reading the (M, B) layout via a 3D strided BlockSpec:
+        x4 enters as the free (128, n2, B) leading-split view."""
+        nb3 = b // wt
+        n_tiles = n2 * nb3
+        lhs_spec = pl.BlockSpec(
+            (1,) + lre.shape[1:],
+            lambda t: (jax.lax.div(t, np.int32(nb3)), pf._Z0, pf._Z0),
+            memory_space=pltpu.VMEM)
+        data_spec = pl.BlockSpec(
+            (_N1, 1, wt),
+            lambda t: (pf._Z0, jax.lax.div(t, np.int32(nb3)),
+                       jax.lax.rem(t, np.int32(nb3))),
+            memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec(
+            (1, _N1, wt),
+            lambda t: (jax.lax.div(t, np.int32(nb3)), pf._Z0,
+                       jax.lax.rem(t, np.int32(nb3))),
+            memory_space=pltpu.VMEM)
+        max_spec = pl.BlockSpec(
+            (1, wt), lambda t: (pf._Z0, t),
+            memory_space=pltpu.VMEM)
+        f32 = jnp.float32
+        outs = pl.pallas_call(
+            ft.partial(_body3d, n_bands, max_group),
+            grid=(n_tiles,),
+            in_specs=[lhs_spec, lhs_spec] + [data_spec] * 4
+            + [max_spec],
+            out_specs=(out_spec,) * 4 + (max_spec,),
+            out_shape=(
+                (jax.ShapeDtypeStruct((n2, _N1, b), f32),) * 4
+                + (jax.ShapeDtypeStruct((1, n2 * b), f32),)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2 * _N1 * n_bands, wt), jnp.int8)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=96 * 1024 * 1024),
+            interpret=pf._interpret(),
+        )(lre, lim, *x4, scale)
+        return outs[:4], outs[4]
+
+    @jax.jit
+    def l1_3d(x4, scale, lre, lim):
+        x3 = tuple(a.reshape(_N1, n2, b) for a in x4)
+        return _l1_3d(lre, lim, x3, scale)
+
     def bench(tag, fn, *args_):
         def f(o):
             return jax.tree_util.tree_leaves(o)[0]
@@ -234,9 +332,18 @@ def time_stages(m, b, wt, reps):
     out, _ = bench("fwd_full", fwd_full, pair0, consts["l1_re"],
                    consts["l1_im"], consts["l2_re"], consts["l2_im"])
     del out
+    x4 = tuple(a.reshape(m, b) for a in pair0)
+    out, _ = bench("fwd_chain", fwd_chain2, x4, consts["l1_re"],
+                   consts["l1_im"], consts["l2_re"], consts["l2_im"])
+    del out
+    (p3, cm3), _ = bench("l1_3d", l1_3d, x4, scale,
+                         consts["l1_re"], consts["l1_im"])
+    del x4, cm3
     (p1, cm), _ = bench("l1", l1, pair0, scale,
                         consts["l1_re"], consts["l1_im"])
-    del pair0, cm
+    err = float(jnp.max(jnp.abs(p3[0] - p1[0])))
+    print(f"l1_3d vs l1 max diff: {err:.3e}", flush=True)
+    del pair0, cm, p3
     s1v, _ = bench("s1_reduce", s1_reduce, p1)
     bench("l2", l2, p1, s1v, consts["l2_re"], consts["l2_im"])
 

@@ -991,7 +991,7 @@ def _deep_chain_onejit(x, consts, tables, inner, outer, w, s, n_out,
     one-jit's value is robustness to host load, which production
     hosts (IO, prefetch, decode threads) always have."""
     pair = _prepare_pair(x, inner, outer, w, s)
-    pair = _pf._fft_fwd_impl(pair, consts, n_bands=n_bands,
+    pair = _pf._fft_fwd_auto(pair, consts, n_bands=n_bands,
                              max_group=max_group, wt=_deep_wt())
     pair = _outer_level_pallas(
         *pair, *tables, inner=inner, outer=outer, w=w,
@@ -1008,7 +1008,7 @@ def _deep_chain_onejit(x, consts, tables, inner, outer, w, s, n_out,
         *pair, *tables, inner=inner, outer=outer, w=w,
         n_bands=n_bands, max_group=max_group, dif=True)
     rows = _dif_rows(inner, outer, n_out)
-    pair = _pf._fft_fwd_impl(pair, consts, n_bands=n_bands,
+    pair = _pf._fft_fwd_auto(pair, consts, n_bands=n_bands,
                              max_group=max_group, wt=_deep_wt(),
                              l2_rows=rows // 128)
     (out,) = _inv_from_kernel_dif(*pair, inner=inner, outer=outer,

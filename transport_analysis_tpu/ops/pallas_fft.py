@@ -505,6 +505,222 @@ def _banded_level(lre, lim, pair, scale, out_rows: int,
 
 
 # ---------------------------------------------------------------------
+# relayout-free levels: 3D leading-split views + sub-blocked kernels
+# ---------------------------------------------------------------------
+#
+# The 2D levels above require the (128, n2*B) engine layout; producing
+# it from a chain-boundary (M, B) array is a PHYSICAL tiled-layout
+# relayout on TPU (the linear-memory reshape regroups the (8, 128)
+# tiles), and the k-major exit reshape is another. Hardware-measured
+# (benchmarks/micro_level.py): entry+exit relayouts cost ~37 ms per
+# 4-plane pair at B=8192 — ~0.15 s per acf at the north-star chunk,
+# the single largest "profile-flat" cost in the deep chain (the
+# round-7 attribution blamed in-kernel band slicing; the slicing
+# measures ~9 ms/level — the relayouts were the real base).
+#
+# The v3 levels below avoid BOTH relayouts: the (M, B) operand enters
+# as the (128, n2, B) LEADING-SPLIT view — free, the tiling lives on
+# the last two dims and n2 % 8 == 0 keeps the byte layout identical —
+# and each kernel block carries a middle-dim slab of ``_CG`` = 8
+# columns-groups (Pallas requires the 2nd-minor block dim be a
+# multiple of 8), processed by an in-kernel loop of ``_CG``
+# independent slicing+GEMM pipelines. Level 2 likewise reads level
+# 1's 3D output directly and writes (l2_rows, 128, B), whose k-major
+# 2D form is a free leading merge.
+
+_CG = 8  # middle-dim sub-blocks per grid step (min legal: 8)
+
+
+def _level3_kernel_body(cg: int, n_bands: int, max_group: int,
+                        per_sub_lhs: bool, out_sub0: bool,
+                        lre_ref, lim_ref, rh_ref, rl_ref, ih_ref,
+                        il_ref, s_ref, orh_ref, orl_ref, oih_ref,
+                        oil_ref, omax_ref, rhs_scratch):
+    """One banded level on a (K, cg, wt) block of the 3D view: ``cg``
+    independent sub-columns-groups, each running the same
+    divide-by-scale -> band-slice -> grouped int8 GEMMs -> merge ->
+    rescale pipeline as _level_kernel_body. ``per_sub_lhs`` indexes
+    the twiddle-folded lhs per sub-group (level 1); ``out_sub0``
+    selects the output sub-axis: leading (level 1 writes (cg, 128,
+    wt) blocks of the (n2, 128, B) transposed form) vs middle (level
+    2 writes (rows, cg, wt) blocks of the k-major (l2_rows, 128, B)
+    form)."""
+    # ONE contiguous load per operand + ONE sub-axis transpose (a
+    # single vector shuffle, vs cg strided loads per operand);
+    # sub-group slicing is then free leading indexing
+    vrh = jnp.swapaxes(rh_ref[:], 0, 1)
+    vrl = jnp.swapaxes(rl_ref[:], 0, 1)
+    vih = jnp.swapaxes(ih_ref[:], 0, 1)
+    vil = jnp.swapaxes(il_ref[:], 0, 1)
+    svals = s_ref[:]
+    acc = ([], [], [], [], [])
+    for i in range(cg):
+        s = svals[i: i + 1, :]
+        inv = 1.0 / s
+        rh, rl = vrh[i] * inv, vrl[i] * inv
+        ih, il = vih[i] * inv, vil[i] * inv
+        k = rh.shape[0]
+        _slice_pair_into(rhs_scratch, 0, 2 * k, rh, rl, n_bands)
+        _slice_pair_into(rhs_scratch, k, 2 * k, ih, il, n_bands)
+        lre = lre_ref[i] if per_sub_lhs else lre_ref[0]
+        lim = lim_ref[i] if per_sub_lhs else lim_ref[0]
+        re_hi, re_lo = _merge(_grouped_dots(
+            lre, rhs_scratch, 2 * k, n_bands, max_group))
+        im_hi, im_lo = _merge(_grouped_dots(
+            lim, rhs_scratch, 2 * k, n_bands, max_group))
+        acc[0].append(re_hi * s)
+        acc[1].append(re_lo * s)
+        acc[2].append(im_hi * s)
+        acc[3].append(im_lo * s)
+        acc[4].append(jnp.max(
+            jnp.maximum(jnp.abs(acc[0][-1]), jnp.abs(acc[2][-1])),
+            axis=0, keepdims=True))
+    def emit(vals):
+        out = jnp.stack(vals, axis=0)          # (cg, rows, wt)
+        return out if out_sub0 else jnp.swapaxes(out, 0, 1)
+
+    orh_ref[:] = emit(acc[0])
+    orl_ref[:] = emit(acc[1])
+    oih_ref[:] = emit(acc[2])
+    oil_ref[:] = emit(acc[3])
+    omax_ref[:] = jnp.concatenate(acc[4], axis=0)
+
+
+def _banded_level3(lre, lim, pair3, scale, out_rows: int,
+                   per_sub_lhs: bool, out_sub0: bool,
+                   n_bands: int = _N_BANDS, max_group: int = None,
+                   wt: int = _W_TILE, cg: int = _CG):
+    """Run one banded level over a 3D (K, G, B) double-float complex
+    view (contraction axis 0, G sub-columns-groups, B lanes).
+
+    ``scale``/colmax are (G, B) per (sub-group, lane) GEMM column.
+    Output: out_sub0 -> (G, out_rows, B) (level 1's transposed form);
+    else (out_rows, G_out= the lhs' own 128 sub-axis... see
+    _fft_fwd_impl_v3) -> (out_rows, G, B).
+    """
+    if max_group is None:
+        max_group = _MAX_GROUP
+    rh = pair3[0]
+    k, g, b = rh.shape
+    n_g = g // cg
+    n_b = b // wt
+
+    if per_sub_lhs:
+        lhs_spec = pl.BlockSpec(
+            (cg,) + lre.shape[1:], lambda gg, t: (gg, _Z0, _Z0),
+            memory_space=pltpu.VMEM)
+    else:
+        lhs_spec = pl.BlockSpec(
+            (1,) + lre.shape[1:], lambda gg, t: (_Z0, _Z0, _Z0),
+            memory_space=pltpu.VMEM)
+    data_spec = pl.BlockSpec((k, cg, wt), lambda gg, t: (_Z0, gg, t),
+                             memory_space=pltpu.VMEM)
+    if out_sub0:
+        out_shape = (g, out_rows, b)
+        out_spec = pl.BlockSpec((cg, out_rows, wt),
+                                lambda gg, t: (gg, _Z0, t),
+                                memory_space=pltpu.VMEM)
+    else:
+        out_shape = (out_rows, g, b)
+        out_spec = pl.BlockSpec((out_rows, cg, wt),
+                                lambda gg, t: (_Z0, gg, t),
+                                memory_space=pltpu.VMEM)
+    sc_spec = pl.BlockSpec((cg, wt), lambda gg, t: (gg, t),
+                           memory_space=pltpu.VMEM)
+
+    f32 = jnp.float32
+    outs = pl.pallas_call(
+        functools.partial(_level3_kernel_body, cg, n_bands, max_group,
+                          per_sub_lhs, out_sub0),
+        grid=(n_g, n_b),
+        in_specs=[lhs_spec, lhs_spec] + [data_spec] * 4 + [sc_spec],
+        out_specs=(out_spec,) * 4 + (sc_spec,),
+        out_shape=(
+            (jax.ShapeDtypeStruct(out_shape, f32),) * 4
+            + (jax.ShapeDtypeStruct((g, b), f32),)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2 * k * n_bands, wt), jnp.int8)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=_interpret(),
+    )(lre, lim, *pair3, scale)
+    return outs[:4], outs[4]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_bands", "max_group", "wt", "l2_rows"),
+    donate_argnums=(0,))
+def _fft_fwd_impl_v3(pair, consts, n_bands: int = _N_BANDS,
+                     max_group: int = None, wt: int = _W_TILE,
+                     l2_rows: int = None):
+    """Relayout-free forward banded FFT along axis 0 of complex (M, B)
+    double-float pairs: identical contract to _fft_fwd_impl (natural
+    frequency order k = k2*128 + k1 out), but every inter-stage
+    reshape is a free leading split/merge — the (128, n2, B) entry
+    view, level 1's (n2, 128, B) transposed output consumed as-is by
+    level 2, and the (l2_rows, 128, B) -> (l2_rows*128, B) k-major
+    exit merge. Hardware: both levels run at the standalone-probe
+    walls; the 2D impl paid ~4 extra relayout passes per call
+    (micro_level.py, BENCH_NOTES round 8)."""
+    if max_group is None:
+        max_group = _MAX_GROUP
+    rh = pair[0]
+    m, b = rh.shape
+    n2 = m // _N1
+    if l2_rows is None:
+        l2_rows = n2
+    pair3 = tuple(a.reshape(_N1, n2, b) for a in pair)  # free view
+    s_in = _pow2_ceil_f32(jnp.maximum(
+        jnp.max(jnp.abs(pair3[0]), axis=0),
+        jnp.max(jnp.abs(pair3[2]), axis=0)))
+    # level 1: contract j1 per (j2, b), twiddle-folded per-j2 lhs,
+    # output in the (j2, k1, b) transposed form
+    pair3, _ = _banded_level3(consts["l1_re"], consts["l1_im"], pair3,
+                              s_in, _N1, True, True,
+                              n_bands=n_bands, max_group=max_group,
+                              wt=wt)
+    s1 = _pow2_ceil_f32(jnp.max(
+        jnp.maximum(jnp.abs(pair3[0]), jnp.abs(pair3[2])),
+        axis=0))
+    l2_re, l2_im = consts["l2_re"], consts["l2_im"]
+    if l2_rows < n2:
+        l2_re = l2_re[:, :l2_rows, :]
+        l2_im = l2_im[:, :l2_rows, :]
+    # level 2: contract j2 per (k1, b), shared lhs, output k-major
+    # as the free (l2_rows, 128, b) -> (l2_rows*128, b) merge
+    pair3, _ = _banded_level3(l2_re, l2_im, pair3, s1, l2_rows,
+                              False, False,
+                              n_bands=n_bands, max_group=max_group,
+                              wt=wt)
+    return tuple(a.reshape(l2_rows * _N1, b) for a in pair3)
+
+
+def _fwd_v3_ok(m: int, b: int, wt: int) -> bool:
+    """Shape gate for the relayout-free forward impl."""
+    import os
+
+    if os.environ.get("TRANSPORT_ANALYSIS_TPU_NO_FFT3"):
+        return False
+    n2 = m // _N1
+    return n2 % _CG == 0 and _N1 % _CG == 0 and b % wt == 0
+
+
+def _fft_fwd_auto(pair, consts, n_bands: int = _N_BANDS,
+                  max_group: int = None, wt: int = _W_TILE,
+                  l2_rows: int = None):
+    """Forward banded FFT, dispatching to the relayout-free v3 impl
+    when the shape allows (callers that compose the engine inside
+    their own jit — the deep chain — use this so the choice is made
+    per trace)."""
+    m, b = pair[0].shape
+    impl = (_fft_fwd_impl_v3 if _fwd_v3_ok(m, b, wt)
+            else _fft_fwd_impl)
+    return impl(pair, consts, n_bands=n_bands, max_group=max_group,
+                wt=wt, l2_rows=l2_rows)
+
+
+# ---------------------------------------------------------------------
 # fused Hermitian unpack + power spectrum + inverse level A
 # ---------------------------------------------------------------------
 
@@ -921,15 +1137,17 @@ def fft_banded_pair(pair, inverse: bool = False, wt: int = _W_TILE,
     trick — forward kernels only). ``l2_rows`` (forward only) keeps
     only frequencies k < l2_rows*128 — see _fft_fwd_impl."""
     rh = pair[0]
-    m = rh.shape[0]
+    m, b = rh.shape
     n2 = m // _N1
     # pairs carry float64 payloads: ride the (overridable) f64 profile
     n_bands, max_group = _profile(jnp.float64)
     consts = _device_constants(n2, 1, n_bands)
     if inverse:
         pair = (pair[0], pair[1], -pair[2], -pair[3])
-    out = _fft_fwd_impl(pair, consts, n_bands=n_bands,
-                        max_group=max_group, wt=wt, l2_rows=l2_rows)
+    impl = (_fft_fwd_impl_v3 if _fwd_v3_ok(m, b, wt)
+            else _fft_fwd_impl)
+    out = impl(pair, consts, n_bands=n_bands,
+               max_group=max_group, wt=wt, l2_rows=l2_rows)
     if inverse:
         inv_m = np.float32(1.0 / m)
         out = (out[0] * inv_m, out[1] * inv_m,
