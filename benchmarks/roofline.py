@@ -132,7 +132,7 @@ def main():
         pair = stage("outer_fwd", lambda: da._outer_level_pallas(
             *pair, *tables, inner=inner, outer=outer, w=w,
             n_bands=n_bands, max_group=max_group))
-        pair = stage("unpack", lambda: da._unpack_to_pair_dif(
+        pair = stage("unpack", lambda: da._unpack_dispatch(
             *pair, inner, outer, w))
         pair = stage("outer_dif", lambda: da._outer_level_pallas(
             *pair, *tables, inner=inner, outer=outer, w=w,
@@ -168,23 +168,33 @@ def main():
                 walls, _ = chain_once([synth(r)], wt, prof)
                 for k, v in walls.items():
                     best[k] = min(best.get(k, 1e9), v)
-            # helfand extras (profile-independent; once per tag)
-            accv = synth(100)
-            acc = accv.reshape(n, args.chunk, 3)
-            fence(acc)
-            t0 = time.perf_counter()
-            flat, sq = ein._center_and_sq_flat(acc, 3)
-            fence(sq)
-            best["center_sq"] = time.perf_counter() - t0 - rtt
-            del flat, acc, accv
-            corr = jax.random.uniform(
-                jax.random.PRNGKey(5), (n, args.chunk), jnp.float64)
-            fence(corr)
-            t0 = time.perf_counter()
-            out = ein._assembly(sq, "mean", 3, corr)
-            fence(out)
-            best["assembly"] = time.perf_counter() - t0 - rtt
-            del out, sq, corr
+            # helfand extras (profile-independent; min over reps with
+            # a warm-up call — the first call at a shape compiles,
+            # which inflated these walls ~10-40x in early runs)
+            for r in range(args.reps + 1):
+                accv = synth(100)
+                acc = accv.reshape(n, args.chunk, 3)
+                fence(acc)
+                t0 = time.perf_counter()
+                flat, sq = ein._center_and_sq_flat(acc, 3)
+                fence(sq)
+                wall = time.perf_counter() - t0 - rtt
+                if r:
+                    best["center_sq"] = min(
+                        best.get("center_sq", 1e9), wall)
+                del flat, acc, accv
+                corr = jax.random.uniform(
+                    jax.random.PRNGKey(5), (n, args.chunk),
+                    jnp.float64)
+                fence(corr)
+                t0 = time.perf_counter()
+                out = ein._assembly(sq, "mean", 3, corr)
+                fence(out)
+                wall = time.perf_counter() - t0 - rtt
+                if r:
+                    best["assembly"] = min(
+                        best.get("assembly", 1e9), wall)
+                del out, sq, corr
             results[tag] = {k: round(v, 4) for k, v in best.items()}
         if ctx:
             ctx.__exit__(None, None, None)

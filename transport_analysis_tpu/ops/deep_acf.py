@@ -470,6 +470,27 @@ def _unpack_rev_planes(zrh, zrl, zih, zil, inner: int, outer: int,
     return rev(zrh), rev(zrl), rev(zih), rev(zil)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("inner", "outer", "w", "need"))
+def _unpack_rev_planes_half(zrh, zrl, zih, zil, inner: int,
+                            outer: int, w: int, need: int):
+    """First ``need`` rows of the Hermitian-mirror operand only:
+    R[k] = Z[(M-k) mod M] for k < need. The Pallas unpack computes
+    rows k <= inner/2 directly and synthesizes the rest from the
+    output symmetry p[M-m] = p[m], so only ~half a spectra set of
+    mirror transient is ever live — the chunk-capacity half of
+    ROADMAP lever 3 (the full-plane mirror was a peak-HBM wash
+    against the slabbed path's while-carry copies)."""
+    def rev(z):
+        # rows 1..need-1 = lane-mirrored z[inner-1 .. inner-need+1]
+        tail = jnp.flip(z[inner - need + 1:], axis=0)
+        r0 = _mirror_lanes_row0(z[:1], w, outer)
+        return jnp.concatenate(
+            [r0, _mirror_lanes(tail, w, outer)], axis=0)
+
+    return rev(zrh), rev(zrl), rev(zih), rev(zil)
+
+
 def _unpack_kernel_body(zrh_ref, zrl_ref, zih_ref, zil_ref,
                         rrh_ref, rrl_ref, rih_ref, ril_ref,
                         orh_ref, orl_ref, oih_ref, oil_ref):
@@ -533,29 +554,53 @@ def _unpack_to_pair_dif_pallas(zrh, zrl, zih, zil, inner: int,
     dynamic_update_slice carries copied ~0.85 spectra sets per call
     (the 46·M·w HBM anchor of auto_atom_chunk) and the emulated-f64
     slab algebra ran at 43-47 GB/s; this path's peak is in + rev + out
-    (out aliased onto in) and the kernel streams at f32 rates."""
-    cols = zrh.shape[1]
-    rr = _unpack_rev_planes(zrh, zrl, zih, zil, inner, outer, w)
+    (out aliased onto in) and the kernel streams at f32 rates.
 
+    HALF-SYMMETRY (round 8): the output satisfies p[M-m] = p[m]
+    EXACTLY (both power spectra are even in m — the same summands
+    commute/negate and squaring kills the sign; the slabbed path
+    already relies on this bit-exactly). The kernel therefore only
+    computes rows k <= inner/2 (+ one 512-row block of overlap whose
+    values the synthesis pass overwrites with bit-identical data),
+    the mirror operand materializes at ~half a spectra set (the
+    chunk-capacity lever — ROADMAP lever 3), and rows inner/2+1.. are
+    synthesized as lane-mirrored row flips of the computed half."""
+    cols = zrh.shape[1]
+    half = inner // 2
     rows = 512
+    grid_rows = half // rows + 1         # cover rows [0, half]
+    need = grid_rows * rows              # mirror rows materialized
+    rr = _unpack_rev_planes_half(zrh, zrl, zih, zil, inner, outer, w,
+                                 need)
+
     cb = 512 if cols % 512 == 0 else (256 if cols % 256 == 0 else 128)
     spec = pl.BlockSpec((rows, cb), lambda r, c: (r, c),
                         memory_space=pltpu.VMEM)
     f32 = jnp.float32
-    return pl.pallas_call(
+    outs = pl.pallas_call(
         _unpack_kernel_body,
-        grid=(inner // rows, cols // cb),
+        grid=(grid_rows, cols // cb),
         in_specs=[spec] * 8,
         out_specs=(spec,) * 4,
         out_shape=(jax.ShapeDtypeStruct((inner, cols), f32),) * 4,
         # direct operands: block (r, c) is read only by grid step
         # (r, c), so the outputs may overwrite them in place — the
-        # mirror operands live in their own (transient) buffers
+        # mirror operands live in their own (transient, half-size)
+        # buffers. Rows beyond the visited grid keep the aliased
+        # input's bytes and are replaced by the synthesis below.
         input_output_aliases={0: 0, 1: 1, 2: 2, 3: 3},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024),
         interpret=_pf._interpret(),
     )(zrh, zrl, zih, zil, *rr)
+
+    def synth(o):
+        # rows half+1 .. inner-1 = lane-mirror of row-flipped rows
+        # 1 .. half-1 (exact by the evenness argument above)
+        tail = _mirror_lanes(jnp.flip(o[1:half], axis=0), w, outer)
+        return jax.lax.dynamic_update_slice(o, tail, (half + 1, 0))
+
+    return tuple(synth(o) for o in outs)
 
 
 def _unpack_dispatch(zrh, zrl, zih, zil, inner: int, outer: int,
@@ -847,6 +892,35 @@ def _inv_from_kernel_dif(rh, rl, ih, il, inner: int, outer: int,
     rows = rh.shape[0]
     inv_m = 1.0 / (inner * outer)
 
+    if (
+        _pf.is_tpu_backend() or _pf._interpret()
+    ) and rows % 8 == 0 and not _os.environ.get(
+        "TRANSPORT_ANALYSIS_TPU_NO_PALLAS_EPILOGUE"
+    ):
+        # the (n1, wc, n2) -> (n1, n2, wc) relayout as a Pallas
+        # minor-dims transpose (XLA's f64-adjacent swapaxes ran at
+        # 18-38 GB/s — the worst achieved-bandwidth stage in the
+        # round-7 roofline; Mosaic lowers the in-kernel lane
+        # transpose exactly). The exact pow2 1/M rides the f32 pair
+        # (identical values to the f64-side multiply), and the f64
+        # combine + concat + component sum FUSE into one XLA pass
+        # over the transposed planes — bit-identical output to the
+        # XLA fallback below (same adds, same order).
+        rh, rl, ih, il = _epilogue_transpose_pallas(
+            rh, rl, ih, il, outer=outer, w=w,
+            inv_m=np.float32(inv_m))
+
+        def conv(h, l):
+            return (h[:n_out].astype(jnp.float64)
+                    + l[:n_out].astype(jnp.float64))
+
+        out = jnp.concatenate(
+            [conv(rh, rl), -conv(ih, il)], axis=1)[:, :s]
+        if sum_d:
+            out = jnp.sum(
+                out.reshape(n_out, s // sum_d, sum_d), axis=-1)
+        return (out,)
+
     def conv(h, l):
         h = h.reshape(rows, w, outer).swapaxes(1, 2)
         l = l.reshape(rows, w, outer).swapaxes(1, 2)
@@ -858,6 +932,49 @@ def _inv_from_kernel_dif(rh, rl, ih, il, inner: int, outer: int,
     if sum_d:
         out = jnp.sum(out.reshape(n_out, s // sum_d, sum_d), axis=-1)
     return (out,)
+
+
+def _epi_tr_body(r1: int, outer: int, w: int, inv_m,
+                 rh_ref, rl_ref, ih_ref, il_ref,
+                 orh_ref, orl_ref, oih_ref, oil_ref):
+    """(r1, w*outer) block [n1, (wc, j2)] -> (r1*outer, w) block
+    [(n1, j2), wc]: one in-register minor-dims transpose per plane,
+    with the exact pow2 1/M folded in."""
+    def tr(ref):
+        v = ref[:].reshape(r1, w, outer)
+        return jnp.swapaxes(v, 1, 2).reshape(r1 * outer, w) * inv_m
+
+    orh_ref[:] = tr(rh_ref)
+    orl_ref[:] = tr(rl_ref)
+    oih_ref[:] = tr(ih_ref)
+    oil_ref[:] = tr(il_ref)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("outer", "w", "inv_m"),
+    donate_argnums=(0, 1, 2, 3))
+def _epilogue_transpose_pallas(rh, rl, ih, il, outer: int, w: int,
+                               inv_m):
+    """All four planes (rows, w*outer) -> (rows*outer, w) in one
+    full-width streaming kernel (blocks span the whole lane axis, so
+    the grid is 1-D over 8-row groups)."""
+    rows, b = rh.shape
+    r1 = 8
+    in_spec = pl.BlockSpec((r1, b), lambda i: (i, _Z0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((r1 * outer, w), lambda i: (i, _Z0),
+                            memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+    return pl.pallas_call(
+        functools.partial(_epi_tr_body, r1, outer, w, inv_m),
+        grid=(rows // r1,),
+        in_specs=[in_spec] * 4,
+        out_specs=(out_spec,) * 4,
+        out_shape=(jax.ShapeDtypeStruct((rows * outer, w), f32),) * 4,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=_pf._interpret(),
+    )(rh, rl, ih, il)
 
 
 def _deep_fft_fwd_pair(pair, inner: int, outer: int, w: int,
