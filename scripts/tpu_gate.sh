@@ -12,9 +12,10 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 # Throughput floors are per-platform (scripts/gate_floors.py):
-# hardware-anchored on the v5e, scaled by HBM-bandwidth ratio on
-# other chips (both gated paths are traffic-bound). Env overrides
-# still win. Deep floor rationale: scripts/deep_gate.py N=2^17 rung
+# hardware-anchored on the v5e, scaled by the bf16-COMPUTE ratio on
+# other chips (the roofline proved neither gated path is
+# traffic-bound — BENCH_NOTES). Env overrides still win. Deep floor
+# rationale: scripts/deep_gate.py N=2^17 rung
 # measured 7.5e10 lags/s on the v5e; the floor catches a >=20%
 # regression or a silent dispatch regression off the deep path, the
 # blind spot that let the round-2 trace-gate incident through.
@@ -24,6 +25,15 @@ echo "detected device: ${DEVICE_KIND} (floors ${DEF_MIN_LAGS} / ${DEF_MIN_DEEP_L
 MIN_LAGS="${TPU_GATE_MIN_LAGS:-$DEF_MIN_LAGS}"   # throughput regression floor
 MAX_RELERR="${TPU_GATE_MAX_RELERR:-1e-11}"  # f64 contract
 MIN_DEEP_LAGS="${TPU_GATE_MIN_DEEP_LAGS:-$DEF_MIN_DEEP_LAGS}"
+# Deep-rung accuracy: gated at measured-plus-margin, NOT the 1e-11
+# contract (VERDICT r4 #7): the N=2^17 rung measures ~2.5-3.7e-15
+# head error, and error GROWS with transform depth (7-9e-12 at
+# N=2^20-2^21, BENCH_NOTES deep ladder) — a 1e-11 gate here would
+# pass a regression that silently blows the contract at production
+# depth. 3e-14 is ~10x the measured rung error (run-to-run pair
+# noise is ~1.5x) and catches any band-budget/profile regression
+# (those jump >=100x).
+MAX_DEEP_RELERR="${TPU_GATE_MAX_DEEP_RELERR:-3e-14}"
 
 echo "== on-TPU equivalence suite =="
 TRANSPORT_ANALYSIS_TPU_TEST_TPU=1 python -m pytest \
@@ -32,7 +42,7 @@ TRANSPORT_ANALYSIS_TPU_TEST_TPU=1 python -m pytest \
 echo "== deep-chain rung gate (floor ${MIN_DEEP_LAGS} lags/s) =="
 DEEP_OUT=$(python scripts/deep_gate.py | tail -1)
 echo "$DEEP_OUT"
-python - "$DEEP_OUT" "$MIN_DEEP_LAGS" "$MAX_RELERR" << 'EOF'
+python - "$DEEP_OUT" "$MIN_DEEP_LAGS" "$MAX_DEEP_RELERR" << 'EOF'
 import json
 import sys
 

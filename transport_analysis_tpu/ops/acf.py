@@ -450,13 +450,19 @@ def _acf_windowed_impl(x: jax.Array, n_lags: int) -> jax.Array:
     )
 
 
-def _windowed_pallas_ok(dtype, n: int) -> bool:
+def _windowed_pallas_ok(dtype, n: int, n_lags: int = None) -> bool:
     """Gate for routing the windowed kernels through the Pallas lag
     kernel (ops/pallas_lag.py): TPU backends only.
 
-    float32 (default on): the plain-profile tile kernel keeps each
-    row block VMEM-resident per lag block where the XLA fori_loop
-    kernels re-read the full series from HBM per lag.
+    float32: the tile kernel keeps each row block VMEM-resident per
+    lag block where the XLA fori_loop kernels re-read the full series
+    from HBM per lag — which pays off when the lag sweep is CAPPED
+    (hardware, v5e: N=16384/max_lag=2048 pallas 5.4e10 vs XLA 4.8e10
+    lags/s) but loses on full-lag sweeps, where the XLA loop's single
+    fused kernel amortizes its reads over P and the tile kernel's
+    per-(row-block, lag-block) grid revisits dominate (N=4096 full:
+    XLA 3.9e10 vs pallas 1.8e10; N=8192 full: parity). Dispatch:
+    pallas iff the cap is <= n/4 (BENCH_NOTES "windowed face-off").
 
     float64 (opt-in via TRANSPORT_ANALYSIS_TPU_PALLAS_LAG_F64=1): the
     double-float pair profile is exact-grade (~1e-14, N ≤ 2^17) but
@@ -482,7 +488,9 @@ def _windowed_pallas_ok(dtype, n: int) -> bool:
         return bool(
             os.environ.get("TRANSPORT_ANALYSIS_TPU_PALLAS_LAG_F64")
         ) and pair_supported(n)
-    return dtype == jnp.float32
+    if dtype != jnp.float32:
+        return False
+    return n_lags is None or n_lags * 4 <= n
 
 
 def acf_windowed(x, max_lag=None) -> jax.Array:
@@ -499,7 +507,7 @@ def acf_windowed(x, max_lag=None) -> jax.Array:
         x = x[:, :, None]
     n = x.shape[0]
     n_lags = n if max_lag is None else min(int(max_lag), n)
-    if _windowed_pallas_ok(x.dtype, n):
+    if _windowed_pallas_ok(x.dtype, n, n_lags):
         from .pallas_lag import windowed_lag_pallas
 
         return windowed_lag_pallas(

@@ -462,10 +462,11 @@ def _unpack_rev_planes(zrh, zrl, zih, zil, inner: int, outer: int,
     path's rev()). Feeds the Pallas unpack kernel, which then needs
     no in-kernel reversal (Mosaic has no `rev` lowering)."""
     def rev(z):
-        r = _mirror_lanes(
-            jnp.roll(jnp.flip(z, axis=0), 1, axis=0), w, outer)
+        # fused two-axis rev (see _unpack_rev_planes_half)
+        tail = z[1:].reshape(inner - 1, w, outer)
+        tail = jnp.flip(tail, axis=(0, 2)).reshape(inner - 1, -1)
         r0 = _mirror_lanes_row0(z[:1], w, outer)
-        return jnp.concatenate([r0, r[1:]], axis=0)
+        return jnp.concatenate([r0, tail], axis=0)
 
     return rev(zrh), rev(zrl), rev(zih), rev(zil)
 
@@ -482,11 +483,15 @@ def _unpack_rev_planes_half(zrh, zrl, zih, zil, inner: int,
     ROADMAP lever 3 (the full-plane mirror was a peak-HBM wash
     against the slabbed path's while-carry copies)."""
     def rev(z):
-        # rows 1..need-1 = lane-mirrored z[inner-1 .. inner-need+1]
-        tail = jnp.flip(z[inner - need + 1:], axis=0)
+        # rows 1..need-1 = lane-mirrored z[inner-1 .. inner-need+1]:
+        # the row flip and the j2 lane mirror are ONE two-axis
+        # lax.rev over the 3D view — composing them as separate
+        # flip + reshape-mirror passes measured 18 ms/plane vs
+        # ~9 for the fused rev (hardware, north-star shape)
+        tail = z[inner - need + 1:].reshape(need - 1, w, outer)
+        tail = jnp.flip(tail, axis=(0, 2)).reshape(need - 1, -1)
         r0 = _mirror_lanes_row0(z[:1], w, outer)
-        return jnp.concatenate(
-            [r0, _mirror_lanes(tail, w, outer)], axis=0)
+        return jnp.concatenate([r0, tail], axis=0)
 
     return rev(zrh), rev(zrl), rev(zih), rev(zil)
 
@@ -596,8 +601,10 @@ def _unpack_to_pair_dif_pallas(zrh, zrl, zih, zil, inner: int,
 
     def synth(o):
         # rows half+1 .. inner-1 = lane-mirror of row-flipped rows
-        # 1 .. half-1 (exact by the evenness argument above)
-        tail = _mirror_lanes(jnp.flip(o[1:half], axis=0), w, outer)
+        # 1 .. half-1 (exact by the evenness argument above); one
+        # fused two-axis rev, as in _unpack_rev_planes_half
+        tail = o[1:half].reshape(half - 1, w, outer)
+        tail = jnp.flip(tail, axis=(0, 2)).reshape(half - 1, -1)
         return jax.lax.dynamic_update_slice(o, tail, (half + 1, 0))
 
     return tuple(synth(o) for o in outs)

@@ -74,7 +74,7 @@ def einstein_difference_windowed(
         a = a[:, :, None]
     n = a.shape[0]
     n_lags = n if max_lag is None else min(int(max_lag), n)
-    if _windowed_pallas_ok(a.dtype, n):
+    if _windowed_pallas_ok(a.dtype, n, n_lags):
         from .pallas_lag import windowed_lag_pallas
 
         return windowed_lag_pallas(

@@ -989,6 +989,9 @@ def raw_autocorr_pallas_pair(x, n_out: int):
     j1_out = max(1, -(-n_out // n2))
     n_bands, max_group = _profile(x.dtype)
     consts = _device_constants(n2, j1_out, n_bands)
+    if _fwd_v3_ok(m, _padded_w(x.shape[1]), 128):
+        return _raw_autocorr_impl_v3(x, consts, n_out, n_bands,
+                                     max_group)
     return _raw_autocorr_impl(x, consts, n_out, n_bands, max_group)
 
 
@@ -1075,6 +1078,78 @@ def _raw_autocorr_impl(x, consts, n_out: int,
     inv_m = np.float32(1.0 / m)
     return tuple(
         a.reshape(j1_out * n2, w)[:n_out] * inv_m for a in pair)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_out", "n_bands", "max_group"))
+def _raw_autocorr_impl_v3(x, consts, n_out: int,
+                          n_bands: int = _N_BANDS,
+                          max_group: int = None):
+    """Relayout-free autocorrelation chain: the v3 levels (free 3D
+    leading-split views, see _fft_fwd_impl_v3) for L1/L2/inverse-B.
+    Only ONE paid relayout remains — the trailing merge feeding the
+    2D fused unpack/inverse-A kernel (whose mirror-pairing index maps
+    stay in the flat (k1, w) column space); the entry relayout, the
+    inverse-B input reshape (it consumes inverse-A's 3D output
+    directly), and the k-major exit reshape are all free views.
+    Bit-identical math to _raw_autocorr_impl (same kernels' algebra,
+    same scale plumbing)."""
+    if max_group is None:
+        max_group = _MAX_GROUP
+    m, s = x.shape
+    n2 = m // _N1
+    j1_out = max(1, -(-n_out // n2))
+    wt = 128
+
+    hi_s, lo_s = _split_pair(x)
+    w = _padded_w(s)
+    n_w = w // _W_TILE
+
+    def pack(arr):
+        arr = jnp.pad(arr, ((0, 0), (0, 2 * w - s)))
+        return arr[:, :w], arr[:, w:]
+
+    rh, ih = pack(hi_s)
+    rl, il = pack(lo_s)
+    pair3 = tuple(
+        a.reshape(_N1, n2, w) for a in (rh, rl, ih, il))  # free view
+
+    s_in = _pow2_ceil_f32(jnp.maximum(
+        jnp.max(jnp.abs(pair3[0]), axis=0),
+        jnp.max(jnp.abs(pair3[2]), axis=0)))              # (n2, w)
+    pair3, _ = _banded_level3(consts["l1_re"], consts["l1_im"],
+                              pair3, s_in, _N1, True, True,
+                              n_bands=n_bands, max_group=max_group,
+                              wt=wt)
+    s1 = _pow2_ceil_f32(jnp.max(
+        jnp.maximum(jnp.abs(pair3[0]), jnp.abs(pair3[2])),
+        axis=0))                                          # (128, w)
+    pair3, cm2 = _banded_level3(consts["l2_re"], consts["l2_im"],
+                                pair3, s1, n2, False, False,
+                                n_bands=n_bands, max_group=max_group,
+                                wt=wt)
+    # cm2 is (128, w) per (k1, w) column — already the layout the
+    # mirror max below wants (the 2D impl reshaped its flat colmax)
+    pair = tuple(a.reshape(n2, _N1 * w) for a in pair3)  # paid merge
+    cm2m = jnp.maximum(
+        cm2, jnp.roll(jnp.flip(cm2, axis=0), 1, axis=0))
+    sz2 = 2.0 * _pow2_ceil_f32(cm2m.reshape(1, _N1 * w)) ** 2
+    pair3, _ = _inva_fused(consts["ia_re"], consts["ia_im"], pair,
+                           sz2, n2, n_w,
+                           n_bands=n_bands, max_group=max_group)
+    # inverse-A emits the (k1, j2, w) 3D form — inverse-B's v3 level
+    # consumes it directly (contract k1 per (j2, w), per-j2 lhs)
+    s3 = _pow2_ceil_f32(jnp.max(
+        jnp.maximum(jnp.abs(pair3[0]), jnp.abs(pair3[2])),
+        axis=0))                                          # (n2, w)
+    pair3, _ = _banded_level3(consts["ib_re"], consts["ib_im"],
+                              pair3, s3, j1_out, True, False,
+                              n_bands=n_bands, max_group=max_group,
+                              wt=wt)
+    # (j1_out, n2, w) -> lag-major: free leading merge
+    inv_m = np.float32(1.0 / m)
+    return tuple(
+        a.reshape(j1_out * n2, w)[:n_out] * inv_m for a in pair3)
 
 
 # ---------------------------------------------------------------------
