@@ -60,6 +60,13 @@ def main():
     ap.add_argument("--chunk", type=int, default=1024)
     ap.add_argument("--keep-dir", default=None,
                     help="reuse/keep the data dir (default: temp)")
+    ap.add_argument("--prod-wall", type=float, default=0.51,
+                    help="assumed per-chunk DEVICE wall on production"
+                         " hardware (s) for the feed-requirement"
+                         " analysis; default = the measured v5e"
+                         " analysis wall (1.20 s/chunk at N=2^20,"
+                         " chunk=85) over the v5p bf16-compute ratio"
+                         " 2.33")
     args = ap.parse_args()
 
     workdir = args.keep_dir or tempfile.mkdtemp(prefix="nsspool_")
@@ -110,6 +117,34 @@ def main():
         ops.acf_fft(np.asarray(ref_block, np.float64))).mean(axis=1)
     rel = float(np.max(np.abs(got - ref)) / np.abs(ref).max())
 
+    # Production feed requirement (VERDICT r4 #5): the measured
+    # overlap below rides tunnel-inflated device walls (35-58 s per
+    # chunk on this rig vs ~0.5-1.2 s in production), so "overlap =
+    # 1.0 measured" must NOT be read as "feed solved". The binding
+    # number is: bytes per chunk over the PRODUCTION chunk wall.
+    spool_b = float(np.mean([os.path.getsize(p) for p in paths]))
+    req_chip = spool_b / args.prod_wall
+    reads = stats.get("read_s", [])
+    meas_rate = (spool_b * len(reads[1:]) / sum(reads[1:])
+                 if len(reads) >= 2 and sum(reads[1:]) > 0 else None)
+    production_feed = {
+        "assumed_prod_chunk_wall_s": args.prod_wall,
+        "spool_bytes_per_chunk": spool_b,
+        "required_feed_gbs_per_chip": round(req_chip / 1e9, 2),
+        # v5p-8 topology: 2 CPU hosts x 4 chips
+        "required_feed_gbs_per_host_v5p8": round(
+            4 * req_chip / 1e9, 2),
+        "measured_disk_read_gbs": (round(meas_rate / 1e9, 3)
+                                   if meas_rate else None),
+        "feed_margin": (round(meas_rate / req_chip, 3)
+                        if meas_rate else None),
+        "note": (
+            "overlap=1.0 below is measured under tunnel-inflated "
+            "device walls; production starves unless storage sustains"
+            " required_feed_gbs_per_host (feed_margin >= chips/host)"
+        ),
+    }
+
     lags = args.frames * (args.frames + 1) // 2 * args.atoms
     print(json.dumps({
         "metric": (
@@ -124,6 +159,7 @@ def main():
         "decode_mb_s": round(size_gb * 1e3 / t_spool, 1),
         "chunk_vacf_rel_err_vs_host": rel,
         "timeseries_lag0": float(ts[0]),
+        "production_feed": production_feed,
         # real-pipeline prefetch overlap (VERDICT r3 #4): per-chunk
         # disk-read walls vs consumer stalls. The first chunk's read
         # cannot hide (nothing computes yet); steady-state overlap =

@@ -374,3 +374,50 @@ class TestPallasUnpack:
         z = jnp.zeros((1024, 128), jnp.float32)
         D._unpack_dispatch(z, z, z, z, 1024, 2, 64)
         assert calls.get("xla")
+
+
+class TestPallasEpilogue:
+    """The Pallas transposing epilogue (+ pair-domain component sum)
+    against the XLA formulation, at a lane-compatible shape
+    (outer=128, w=128 — the production class; other shapes take the
+    XLA branch by the dispatch gate)."""
+
+    @pytest.mark.parametrize("sum_d", [0, 3])
+    def test_matches_xla_epilogue(self, monkeypatch, sum_d):
+        from transport_analysis_tpu.ops import deep_acf as D
+        from transport_analysis_tpu.ops import pallas_fft as PF
+
+        inner, outer, w = 1024, 128, 128
+        rows = 256          # a trimmed (l2_rows) engine output
+        n_out = rows * outer // 2
+        s = 2 * w - 1 if not sum_d else 2 * w - 2  # s % sum_d == 0
+        if sum_d:
+            s = (s // sum_d) * sum_d
+        rng = np.random.default_rng(11)
+        # true double-float pairs (lo = the f32 split tail, NOT an
+        # independent plane): the pair-domain component sum's error
+        # bound assumes |lo| <= ulp(hi)
+        rh, rl = PF._split_pair(
+            jnp.asarray(rng.normal(0, 1, (rows, w * outer))))
+        ih, il = PF._split_pair(
+            jnp.asarray(rng.normal(0, 1, (rows, w * outer))))
+        pair = (rh, rl, ih, il)
+
+        monkeypatch.setenv(
+            "TRANSPORT_ANALYSIS_TPU_NO_PALLAS_EPILOGUE", "1")
+        (want,) = D._inv_from_kernel_dif(
+            *(a + 0 for a in pair), inner=inner, outer=outer, w=w,
+            n_out=n_out, s=s, sum_d=sum_d)
+        monkeypatch.delenv(
+            "TRANSPORT_ANALYSIS_TPU_NO_PALLAS_EPILOGUE")
+        (got,) = D._inv_from_kernel_dif(
+            *pair, inner=inner, outer=outer, w=w,
+            n_out=n_out, s=s, sum_d=sum_d)
+        want = np.asarray(want)
+        got = np.asarray(got)
+        assert got.shape == want.shape
+        scale = np.abs(want).max()
+        # sum_d=0 is bit-identical (same adds); the pair-domain
+        # component sum is ~2^-48-grade vs the f64 reduce
+        tol = 0.0 if not sum_d else 1e-13 * scale
+        assert np.max(np.abs(got - want)) <= tol

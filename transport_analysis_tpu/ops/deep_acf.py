@@ -874,10 +874,6 @@ def _dif_rows(inner: int, outer: int, n_out: int) -> int:
     return min(inner, -(-need // 128) * 128)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("inner", "outer", "w", "n_out", "s", "sum_d"),
-    donate_argnums=(0, 1, 2, 3))
 def _inv_from_kernel_dif(rh, rl, ih, il, inner: int, outer: int,
                          w: int, n_out: int, s: int, sum_d: int = 0):
     """DIF kernel layout -> the assembled (n_out, s) autocorrelation.
@@ -894,39 +890,86 @@ def _inv_from_kernel_dif(rh, rl, ih, il, inner: int, outer: int,
     series columns (the per-particle component sum of the (N, P, d)
     analyses) INSIDE this fused epilogue — emitting (n_out, s/sum_d)
     directly instead of materializing the (n_out, s) f64 array for a
-    separate reduce pass (same f64 summation order as
-    jnp.sum(out.reshape(n_out, -1, sum_d), axis=-1))."""
+    separate reduce pass.
+
+    Dispatch (a PLAIN function, so the env kill-switch is honored per
+    call rather than frozen into a trace cache): the Pallas
+    transposing epilogue on TPU/interpret backends at lane-compatible
+    shapes — Mosaic's in-register (r1, w, outer) reshape/transpose
+    needs outer and w both multiples of the 128-lane tile (outer=16 /
+    w=24 at the N=2^17 gate shape fails tpu.reshape legalization);
+    auto_atom_chunk's pad-filling chunks give w = 128k, so production
+    rides the kernel. Everything else: the XLA formulation."""
+    rows = rh.shape[0]
+    if (
+        (_pf.is_tpu_backend() or _pf._interpret())
+        and rows % 8 == 0
+        and outer % 128 == 0
+        and w % 128 == 0
+        and not _os.environ.get(
+            "TRANSPORT_ANALYSIS_TPU_NO_PALLAS_EPILOGUE")
+    ):
+        return _inv_dif_pallas(rh, rl, ih, il, inner=inner,
+                               outer=outer, w=w, n_out=n_out, s=s,
+                               sum_d=sum_d)
+    return _inv_dif_xla(rh, rl, ih, il, inner=inner, outer=outer,
+                        w=w, n_out=n_out, s=s, sum_d=sum_d)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("inner", "outer", "w", "n_out", "s", "sum_d"),
+    donate_argnums=(0, 1, 2, 3))
+def _inv_dif_pallas(rh, rl, ih, il, inner: int, outer: int,
+                    w: int, n_out: int, s: int, sum_d: int = 0):
+    """The (n1, wc, n2) -> (n1, n2, wc) relayout as a Pallas
+    minor-dims transpose (XLA's f64-adjacent swapaxes ran at
+    18-38 GB/s — the worst achieved-bandwidth stage in the round-7
+    roofline; Mosaic lowers the in-kernel lane transpose exactly).
+    The exact pow2 1/M rides the f32 pair (identical values to the
+    f64-side multiply); without sum_d the f64 combine is
+    bit-identical to the XLA path, with sum_d the component sum runs
+    in PAIR arithmetic (TwoSum over d, the acf._sumlast_pair_post
+    pattern, ~2^-48 relative — far inside the 1e-11 contract)."""
+    inv_m = 1.0 / (inner * outer)
+    rh, rl, ih, il = _epilogue_transpose_pallas(
+        rh, rl, ih, il, outer=outer, w=w, inv_m=np.float32(inv_m))
+
+    if sum_d:
+        hi = jnp.concatenate(
+            [rh[:n_out], -ih[:n_out]], axis=1)[:, :s]
+        lo = jnp.concatenate(
+            [rl[:n_out], -il[:n_out]], axis=1)[:, :s]
+        hi3 = hi.reshape(n_out, s // sum_d, sum_d)
+        lo3 = lo.reshape(n_out, s // sum_d, sum_d)
+        sh, sl = hi3[..., 0], lo3[..., 0]
+        for c in range(1, sum_d):
+            s2 = sh + hi3[..., c]
+            bv = s2 - sh
+            e = (sh - (s2 - bv)) + (hi3[..., c] - bv)  # TwoSum
+            sh = s2
+            sl = sl + e + lo3[..., c]
+        return (sh.astype(jnp.float64) + sl.astype(jnp.float64),)
+
+    def conv(h, l):
+        return (h[:n_out].astype(jnp.float64)
+                + l[:n_out].astype(jnp.float64))
+
+    out = jnp.concatenate(
+        [conv(rh, rl), -conv(ih, il)], axis=1)[:, :s]
+    return (out,)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("inner", "outer", "w", "n_out", "s", "sum_d"),
+    donate_argnums=(0, 1, 2, 3))
+def _inv_dif_xla(rh, rl, ih, il, inner: int, outer: int,
+                 w: int, n_out: int, s: int, sum_d: int = 0):
+    """XLA fallback epilogue (all backends/shapes; f64 summation
+    order jnp.sum(out.reshape(n_out, -1, sum_d), axis=-1))."""
     rows = rh.shape[0]
     inv_m = 1.0 / (inner * outer)
-
-    if (
-        _pf.is_tpu_backend() or _pf._interpret()
-    ) and rows % 8 == 0 and not _os.environ.get(
-        "TRANSPORT_ANALYSIS_TPU_NO_PALLAS_EPILOGUE"
-    ):
-        # the (n1, wc, n2) -> (n1, n2, wc) relayout as a Pallas
-        # minor-dims transpose (XLA's f64-adjacent swapaxes ran at
-        # 18-38 GB/s — the worst achieved-bandwidth stage in the
-        # round-7 roofline; Mosaic lowers the in-kernel lane
-        # transpose exactly). The exact pow2 1/M rides the f32 pair
-        # (identical values to the f64-side multiply), and the f64
-        # combine + concat + component sum FUSE into one XLA pass
-        # over the transposed planes — bit-identical output to the
-        # XLA fallback below (same adds, same order).
-        rh, rl, ih, il = _epilogue_transpose_pallas(
-            rh, rl, ih, il, outer=outer, w=w,
-            inv_m=np.float32(inv_m))
-
-        def conv(h, l):
-            return (h[:n_out].astype(jnp.float64)
-                    + l[:n_out].astype(jnp.float64))
-
-        out = jnp.concatenate(
-            [conv(rh, rl), -conv(ih, il)], axis=1)[:, :s]
-        if sum_d:
-            out = jnp.sum(
-                out.reshape(n_out, s // sum_d, sum_d), axis=-1)
-        return (out,)
 
     def conv(h, l):
         h = h.reshape(rows, w, outer).swapaxes(1, 2)
