@@ -222,26 +222,29 @@ def deep_rung():
     xd = jnp.asarray(x)
     got = np.asarray(ops.acf_fft(xd))  # warm (compile) + accuracy copy
     del xd
-    # distinct buffers (memoization defence) via an EXACT pow2 scale:
-    # acf(2x) = 4*acf(x) bit-for-bit in the input. The timed region
-    # reads back the on-device particle SUM ((N,) ~ 1 MB) — the
-    # production out-of-core contract (parallel/out_of_core.py ships
-    # (L,) curves, never (L, P)); the full (N, P) readback it replaces
-    # spent longer in the host link than the chip spent computing
-    xd = jnp.asarray(x * 2.0)
-    np.asarray(jnp.sum(xd))  # fence the feed out of the timed region
-    t0 = time.perf_counter()
-    timed_sum = np.asarray(ops.acf_fft(xd).sum(axis=1))  # readback fences
-    wall = time.perf_counter() - t0
-
-    # correctness witness for the TIMED run (round-4 advisor): the
-    # exact pow2 scaling means acf(2x) = 4*acf(x) bit-for-bit in the
-    # input, so the timed particle sum must equal 4x the warm run's
-    denom = np.abs(got.sum(axis=1)).max()
-    scale_err = np.abs(timed_sum - 4.0 * got.sum(axis=1)).max() / denom
-    assert scale_err < 1e-11, (
-        f"timed deep-rung output diverged from the warm run: "
-        f"{scale_err:.3e}")
+    # distinct buffers (memoization defence) via EXACT pow2 scales:
+    # acf(2^k x) = 4^k acf(x) bit-for-bit in the input. The timed
+    # region reads back the on-device particle SUM ((N,) ~ 1 MB) —
+    # the production out-of-core contract. Wall = MIN over reps: the
+    # ~75 ms rung rides a tunneled runtime whose per-call fence RTT
+    # jitters 27-52 ms (BENCH_NOTES), which swung single-shot rung
+    # values +-40% between otherwise identical runs.
+    wall = float("inf")
+    base_sum = got.sum(axis=1)
+    denom = np.abs(base_sum).max()
+    for k in (1, 2, 3):
+        xd = jnp.asarray(x * float(2.0 ** k))
+        np.asarray(jnp.sum(xd))  # fence the feed out of timed region
+        t0 = time.perf_counter()
+        timed_sum = np.asarray(ops.acf_fft(xd).sum(axis=1))
+        wall = min(wall, time.perf_counter() - t0)
+        del xd
+        # correctness witness for the TIMED run (round-4 advisor)
+        scale_err = np.abs(
+            timed_sum - 4.0 ** k * base_sum).max() / denom
+        assert scale_err < 1e-11 * 4.0 ** k, (
+            f"timed deep-rung output diverged from the warm run: "
+            f"{scale_err:.3e}")
 
     # reference structure: tidynamics-style FFT acf, serial per
     # particle (velocityautocorr.py:210-213), on the host in f64

@@ -401,7 +401,7 @@ def raw_autocorr_sumlast_engine(x, consts, n_bands: int,
     S = P * d
     M = 2 * next_pow_2(N)
     x_pad = jnp.pad(x.reshape(N, S), ((0, M - N), (0, 0)))
-    pair = pallas_fft._raw_autocorr_impl(
+    pair = pallas_fft._raw_autocorr_auto(
         x_pad, consts, N, n_bands, max_group)
     return _sumlast_pair_post(pair, N, P, d)
 

@@ -989,6 +989,16 @@ def raw_autocorr_pallas_pair(x, n_out: int):
     j1_out = max(1, -(-n_out // n2))
     n_bands, max_group = _profile(x.dtype)
     consts = _device_constants(n2, j1_out, n_bands)
+    return _raw_autocorr_auto(x, consts, n_out, n_bands, max_group)
+
+
+def _raw_autocorr_auto(x, consts, n_out: int, n_bands: int,
+                       max_group: int):
+    """Dispatch the autocorrelation chain to the relayout-free v3
+    impl when the shape allows (traceable; also the entry point for
+    callers that thread constants through their own jit, e.g.
+    acf.raw_autocorr_sumlast_engine)."""
+    m = x.shape[0]
     if _fwd_v3_ok(m, _padded_w(x.shape[1]), 128):
         return _raw_autocorr_impl_v3(x, consts, n_out, n_bands,
                                      max_group)
