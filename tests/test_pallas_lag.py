@@ -125,7 +125,8 @@ class TestProductionDispatch:
         from transport_analysis_tpu.ops import acf as acf_mod
 
         monkeypatch.setattr(
-            acf_mod, "_windowed_pallas_ok", lambda dtype, n: True
+            acf_mod, "_windowed_pallas_ok",
+            lambda dtype, n, n_lags=None: True,
         )
 
     @staticmethod

@@ -7,7 +7,7 @@ from __future__ import annotations
 import os
 import subprocess
 
-__version__ = "0.8.0"
+__version__ = "0.9.0"
 
 
 def _git_revision() -> str | None:

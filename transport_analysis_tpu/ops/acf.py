@@ -102,7 +102,14 @@ def auto_atom_chunk(
       program — 45.3·M·w + source — the extra ~0.85 spectra being
       XLA while-loop carry copies of the unpack outputs (remat2
       copies in the HBM dump). The 32-coefficient model admitted
-      chunk=107 at N=2^20, which OOMs a 16 GB chip.
+      chunk=107 at N=2^20, which OOMed a 16 GB chip THEN. Round 8's
+      half-symmetry unpack halved the mirror transient and chunk=107
+      now RUNS (implied stage coefficient <= 36) — but per-atom
+      walls degrade near the HBM edge on the v5e (BENCH_NOTES), so
+      the coefficient deliberately stays at the conservative 46:
+      on the v5e it keeps the fast, validated chunk=85; on
+      bigger-HBM chips the budget scaling dominates chunk choice
+      anyway. Recalibrate only with a perf-validated anchor.
     * engine path (M ≤ 65536): peak ≈ M·w'·64 with w' = d·chunk/2
       padded to 128, plus the (N, chunk, d) source (recalibrated:
       the 48-coefficient model admitted chunk=2048 at N=32768 —
