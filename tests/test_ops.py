@@ -253,3 +253,41 @@ class TestEinsteinOffsetCancellation:
         )
         want = self._oracle(a64)
         assert_allclose(got[1:16], want[1:16], rtol=1e-3)
+
+
+class TestPairDomainFeed:
+    """The pair-domain Helfand feed (round 8): centering + |c|^2 in
+    f32 pair arithmetic vs the f64 route."""
+
+    def test_center_and_sq_flat_pair(self):
+        import jax.numpy as jnp
+        from transport_analysis_tpu.ops import einstein as ein
+
+        rng = np.random.RandomState(3)
+        a = jnp.asarray(rng.normal(50.0, 5.0, (256, 24, 3)))
+        flat, sq = ein._center_and_sq_flat(a, 3)
+        ch, cl, sqp = ein._center_and_sq_flat_pair(a, 3)
+        c = np.asarray(ch, np.float64) + np.asarray(cl, np.float64)
+        ref = np.asarray(flat)
+        # pair centering: TwoSum-exact heads, tails folded (~2^-48
+        # of the operand magnitude, which the mean offset dominates)
+        assert np.abs(c - ref).max() <= 1e-10 * np.abs(ref).max()
+        assert (np.abs(np.asarray(sqp) - np.asarray(sq)).max()
+                <= 1e-9 * np.abs(np.asarray(sq)).max())
+
+    def test_sumlast_flat_pair_fallback(self):
+        """Off-TPU the pair entry combines and matches the f64 path
+        bitwise."""
+        import jax.numpy as jnp
+        from transport_analysis_tpu.ops import acf as ACF
+        from transport_analysis_tpu.ops import pallas_fft as PF
+
+        rng = np.random.RandomState(4)
+        x = jnp.asarray(rng.normal(0, 2.0, (128, 12)))
+        hi, lo = PF._split_pair(x)
+        want = np.asarray(ACF.raw_autocorr_sumlast_flat(x + 0, 4, 3))
+        got = np.asarray(
+            ACF.raw_autocorr_sumlast_flat_pair(hi, lo, 4, 3))
+        # the reconstructed operand is bit-identical; the backend FFT
+        # itself is only deterministic to ~1 ulp across calls
+        assert np.abs(got - want).max() <= 1e-12 * np.abs(want).max()

@@ -349,6 +349,36 @@ def raw_autocorr_sumlast_flat(x: jax.Array, P: int, d: int) -> jax.Array:
     return jnp.sum(raw, axis=-1)
 
 
+def raw_autocorr_sumlast_flat_pair(hi, lo, P: int, d: int):
+    """Component-summed autocorrelation from an exact double-float
+    (hi, lo) f32-pair operand, (N, P·d) pair → (N, P) float64 — the
+    pair-domain model feed. Dispatches to the deep chain's pair entry
+    when eligible (where the win lives: no f64 materialization of the
+    multi-GB operand); anywhere else the pair combines to f64 and
+    the standard dispatch runs (one pass over a small-N operand)."""
+    import os
+
+    N, S = hi.shape
+    M = 2 * next_pow_2(N)
+    if (
+        not os.environ.get("TRANSPORT_ANALYSIS_TPU_NO_PALLAS_FFT")
+        and _eager_engines_ok()
+    ):
+        from . import deep_acf, pallas_fft
+
+        if deep_acf.supported(M, S) and not pallas_fft.supported(M, S):
+            box = [hi, lo]
+            del hi, lo
+            lo_ = box.pop()
+            return deep_acf.raw_autocorr_deep_pair(
+                box.pop(), lo_, N, m=M, sum_d=d)
+    x = hi.astype(jnp.float64) + lo.astype(jnp.float64)
+    del hi, lo
+    box = [x]
+    del x
+    return raw_autocorr_sumlast_flat(box.pop(), P, d)
+
+
 def _sumlast_pair_post(pair, N: int, P: int, d: int,
                        dtype=jnp.float64):
     """Component sum of the engine's pair-domain output, on f32 pairs

@@ -287,6 +287,63 @@ def _prepare_pair(x, inner: int, outer: int, w: int, s: int):
     return tuple(a.reshape(inner, w * outer) for a in parts)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("inner", "outer", "w", "s"),
+    donate_argnums=(0, 1),
+)
+def _prepare_pair_hl(hi, lo, inner: int, outer: int, w: int, s: int):
+    """_prepare_pair from an EXACT (hi, lo) f32-pair source — the
+    pair-domain model feed (ROADMAP round-8 lever 1): callers whose
+    operand already lives as a double-float pair (the pair-centered
+    Helfand accumulator; f32 spool data with a zero tail) skip the
+    f64 materialization and its emulated-f64 read here. Same slab
+    structure and output contract as _prepare_pair; no split pass."""
+    m = inner * outer
+    n_rows = hi.shape[0]
+
+    def turn(a, rows):
+        return a.reshape(rows // outer, outer, w).swapaxes(
+            1, 2).reshape(rows // outer, w * outer)
+
+    ll = max(1, _UNPACK_SLAB * 128 // max(2 * w, 1))
+    ll = 1 << (ll.bit_length() - 1)
+    ll = max(ll, outer)
+    if m % ll or m <= ll:
+        hi = jnp.pad(hi, ((0, m - n_rows), (0, 2 * w - s)))
+        lo = jnp.pad(lo, ((0, m - n_rows), (0, 2 * w - s)))
+        return tuple(
+            turn(src[:, cols], m).reshape(inner, w * outer)
+            for src, cols in (
+                (hi, slice(0, w)), (lo, slice(0, w)),
+                (hi, slice(w, None)), (lo, slice(w, None)),
+            )
+        )
+
+    nz = -(-n_rows // ll)
+    if n_rows % ll:
+        hi = jnp.pad(hi, ((0, nz * ll - n_rows), (0, 0)))
+        lo = jnp.pad(lo, ((0, nz * ll - n_rows), (0, 0)))
+
+    def slab(a0):
+        def data(a0):
+            hs = jax.lax.dynamic_slice(hi, (a0 * ll, 0), (ll, s))
+            ls = jax.lax.dynamic_slice(lo, (a0 * ll, 0), (ll, s))
+            hs = jnp.pad(hs, ((0, 0), (0, 2 * w - s)))
+            ls = jnp.pad(ls, ((0, 0), (0, 2 * w - s)))
+            return tuple(
+                turn(a, ll)
+                for a in (hs[:, :w], ls[:, :w], hs[:, w:], ls[:, w:]))
+
+        def zero(a0):
+            z = jnp.zeros((ll // outer, w * outer), jnp.float32)
+            return (z, z, z, z)
+
+        return jax.lax.cond(a0 < nz, data, zero, a0)
+
+    parts = jax.lax.map(slab, jnp.arange(m // ll))
+    return tuple(a.reshape(inner, w * outer) for a in parts)
+
+
 # rows per slab of the fused unpack stage (128 MB of f64 at w = 128).
 # Above ~2^19 rows a straight-line unpack's HLO temps (hi/lo splits +
 # reversals of every operand, ~6 full-array f32 copies live at once)
@@ -1158,6 +1215,26 @@ def _deep_chain_onejit(x, consts, tables, inner, outer, w, s, n_out,
     one-jit's value is robustness to host load, which production
     hosts (IO, prefetch, decode threads) always have."""
     pair = _prepare_pair(x, inner, outer, w, s)
+    return _deep_chain_core(pair, consts, tables, inner, outer, w, s,
+                            n_out, n_bands, max_group, sum_d)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("inner", "outer", "w", "s", "n_out", "n_bands",
+                     "max_group", "sum_d"),
+    donate_argnums=(0, 1))
+def _deep_chain_onejit_hl(hi, lo, consts, tables, inner, outer, w, s,
+                          n_out, n_bands, max_group, sum_d):
+    """_deep_chain_onejit from an exact (hi, lo) f32-pair source (the
+    pair-domain model feed) — no f64 materialization anywhere."""
+    pair = _prepare_pair_hl(hi, lo, inner, outer, w, s)
+    return _deep_chain_core(pair, consts, tables, inner, outer, w, s,
+                            n_out, n_bands, max_group, sum_d)
+
+
+def _deep_chain_core(pair, consts, tables, inner, outer, w, s, n_out,
+                     n_bands, max_group, sum_d):
     pair = _pf._fft_fwd_auto(pair, consts, n_bands=n_bands,
                              max_group=max_group, wt=_deep_wt())
     pair = _outer_level_pallas(
@@ -1294,3 +1371,48 @@ def raw_autocorr_deep(x, n_out: int, m: int = None,
     if _HBM_DEBUG:
         _fence(out, tag="deep_done")
     return out.astype(dtype) if dtype != out.dtype else out
+
+
+def raw_autocorr_deep_pair(hi, lo, n_out: int, m: int = None,
+                           sum_d: int = 0):
+    """:func:`raw_autocorr_deep` from an exact double-float (hi, lo)
+    f32-pair source — the pair-domain model feed (ROADMAP round-8
+    lever 1). The f64 value represented is ``hi + lo`` exactly;
+    callers that already hold that form (the pair-centered Helfand
+    accumulator in ops/einstein.py; f32 trajectory data, whose exact
+    f64 image is (x, 0)) skip the 8-byte materialization and its
+    emulated-f64 passes entirely. Output is float64, same contract
+    as raw_autocorr_deep on ``hi.astype(f64) + lo.astype(f64)`` up
+    to the pair grade (~2^-48 relative, inside the 1e-11 contract).
+
+    Off the one-jit TPU path (CPU tests, eager/HBM-debug modes) the
+    pair is combined to f64 and the standard entry runs."""
+    n_rows, s = hi.shape
+    if m is None:
+        m = n_rows
+    n_bands, max_group = _pf._profile(jnp.float64)
+    if (n_bands, max_group) != (_pf._N_BANDS, _pf._MAX_GROUP):
+        _warn_deep_precision(n_bands, max_group)
+    inner, outer = _split_m(m)
+
+    use_onejit = (
+        _pf.is_tpu_backend()
+        and not _HBM_DEBUG
+        and not _os.environ.get("TRANSPORT_ANALYSIS_TPU_DEEP_EAGER")
+    )
+    if use_onejit:
+        w = _deep_w(s, outer)
+        consts = _pf._device_constants(inner // 128, 1, n_bands)
+        tables = _outer_kernel_tables(inner, outer, n_bands)
+        box = [hi, lo]
+        del hi, lo
+        lo_ = box.pop()
+        return _deep_chain_onejit_hl(
+            box.pop(), lo_, consts, tables, inner, outer, w, s,
+            n_out, n_bands, max_group, sum_d)
+
+    x = hi.astype(jnp.float64) + lo.astype(jnp.float64)
+    del hi, lo
+    box = [x]
+    del x
+    return raw_autocorr_deep(box.pop(), n_out, m=m, sum_d=sum_d)

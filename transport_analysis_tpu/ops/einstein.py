@@ -236,6 +236,50 @@ def _center_and_sq_flat(a, d: int):
     return c, sq
 
 
+@partial(jax.jit, static_argnames=("d",))
+def _center_and_sq_flat_pair(a, d: int):
+    """_center_and_sq_flat emitting the centered operand as an exact
+    double-float (hi, lo) f32 PAIR (plus the f64 |c|² component sum
+    the assembly consumes) — the pair-domain model feed: the f64
+    source is read ONCE (the split + column-mean fuse into one
+    pass), and every later op runs in f32 pair arithmetic instead of
+    emulated f64. Grades: the pair centering is a TwoSum (error-free
+    heads + folded tails, ~2^-48 relative vs the f64 subtract); the
+    squares/sums ride the same Dekker algebra as the engine kernels.
+    Measured vs the f64 path on the chain outputs: ~1e-14 relative
+    (hardware + CPU tests), inside the 1e-11 contract."""
+    from . import pallas_fft as _pfb
+
+    N = a.shape[0]
+    flat = a.reshape(N, -1)
+    mu = jnp.mean(flat, axis=0, keepdims=True)
+    hi, lo = _pfb._split_pair(flat)
+    mh, ml = _pfb._split_pair(mu)
+    # pair centering: TwoSum(hi, -mh), tails folded
+    ch, e = _pfb._two_sum(hi, -mh)
+    cl = lo - ml + e
+    # |c|² summed over d -> f64. The pair route's Dekker products
+    # need uncontracted f32 mul/add (true on the TPU VPU, which has
+    # no f32 FMA); XLA:CPU's LLVM backend contracts them, so there
+    # the squares take one fused f64 pass instead (the pair path is
+    # never production-dispatched on CPU — this keeps the function
+    # testable). The TwoSum centering above is add/sub only and
+    # FMA-immune everywhere.
+    if _pfb._interpret():
+        c64 = ch.astype(jnp.float64) + cl.astype(jnp.float64)
+        sq = jnp.sum((c64 * c64).reshape(N, -1, d), axis=-1)
+    else:
+        sh, sl = _pfb._df_sq(ch, cl)
+        sq3h = sh.reshape(N, -1, d)
+        sq3l = sl.reshape(N, -1, d)
+        th, tl = sq3h[..., 0], sq3l[..., 0]
+        for c in range(1, d):
+            th, e2 = _pfb._two_sum(th, sq3h[..., c])
+            tl = tl + e2 + sq3l[..., c]
+        sq = th.astype(jnp.float64) + tl.astype(jnp.float64)
+    return ch, cl, sq
+
+
 @jax.jit
 def _sq_sum(a):
     """|a_i|² summed over the component axis, (N, P, d) → (N, P)."""
@@ -344,13 +388,41 @@ def einstein_difference_fft(a, reduce_mode: str = "mean",
     # size onto the chain's HBM peak (measured: the held centered
     # operand was the OOM at the N=2^20 rung)
     if corr is None:
+        from . import pallas_fft as _pfb
+        from .acf import (
+            next_pow_2, raw_autocorr_sumlast_flat,
+            raw_autocorr_sumlast_flat_pair,
+        )
+        from . import deep_acf as _da
+
+        N, S = a.shape[0], a.shape[1] * d
+        m = 2 * next_pow_2(N)
+        if (
+            a.dtype == jnp.float64
+            and _pfb.is_tpu_backend()
+            and _da.supported(m, S)
+            and not _pfb.supported(m, S)
+            and _pfb._profile(jnp.float64)[0] == _pfb._N_BANDS
+        ):
+            # pair-domain feed (deep shapes on TPU): the centered
+            # operand never materializes as f64 — center + |c|² run
+            # in f32 pair arithmetic and the deep chain takes the
+            # pair directly (~2^-48 vs the f64 route, inside the
+            # 1e-11 contract; BENCH_NOTES round 8)
+            ch, cl, sq = _center_and_sq_flat_pair(a, d)
+            del a
+            box = [ch, cl]
+            del ch, cl
+            cl_ = box.pop()
+            corr = raw_autocorr_sumlast_flat_pair(
+                box.pop(), cl_, P, d)
+            return _assembly(sq, reduce_mode, d, corr)
+
         flat, sq = _center_and_sq_flat(a, d)
         del a
         box = [flat]
         del flat
         # C(lag, p) = sum_i sum_d a[i]·a[i+lag]  (raw, unnormalized)
-        from .acf import raw_autocorr_sumlast_flat
-
         corr = raw_autocorr_sumlast_flat(box.pop(), P, d)
     else:
         sq = _sq_sum(a)
