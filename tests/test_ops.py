@@ -291,3 +291,30 @@ class TestPairDomainFeed:
         # the reconstructed operand is bit-identical; the backend FFT
         # itself is only deterministic to ~1 ulp across calls
         assert np.abs(got - want).max() <= 1e-12 * np.abs(want).max()
+
+    def test_from_f32_entries_match_f64_route(self):
+        """acf_fft_from_f32 / einstein_difference_fft_from_f32 match
+        the f64 route on f32-exact samples (off-TPU: bit-for-bit up
+        to backend FFT determinism)."""
+        import jax.numpy as jnp
+        from transport_analysis_tpu import ops
+
+        rng = np.random.RandomState(9)
+        x32 = rng.normal(0, 4.0, (200, 6, 3)).astype(np.float32)
+        want = np.asarray(ops.acf_fft(jnp.asarray(x32, jnp.float64)))
+        got = np.asarray(ops.acf_fft_from_f32(jnp.asarray(x32)))
+        assert got.dtype == np.float64
+        assert np.abs(got - want).max() <= 1e-12 * np.abs(want).max()
+
+        a32 = rng.normal(10.0, 2.0, (200, 6, 3)).astype(np.float32)
+        want = np.asarray(ops.einstein_difference_fft(
+            jnp.asarray(a32, jnp.float64), "mean"))
+        got = np.asarray(ops.einstein_difference_fft_from_f32(
+            jnp.asarray(a32), "mean"))
+        assert np.abs(got - want).max() <= 1e-10 * np.abs(want).max()
+
+        with pytest.raises(TypeError, match="float32"):
+            ops.acf_fft_from_f32(jnp.asarray(a32, jnp.float64))
+        with pytest.raises(TypeError, match="float32"):
+            ops.einstein_difference_fft_from_f32(
+                jnp.asarray(a32, jnp.float64))

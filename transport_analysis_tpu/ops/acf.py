@@ -530,6 +530,53 @@ def _windowed_pallas_ok(dtype, n: int, n_lags: int = None) -> bool:
     return n_lags is None or n_lags * 4 <= n
 
 
+def acf_fft_from_f32(x32) -> jax.Array:
+    """float64-GRADE batched FFT autocorrelation from float32 samples.
+
+    Trajectory formats store coordinates/velocities as float32; those
+    values are EXACTLY representable in float64, so f64-grade results
+    do not require an 8-byte operand — the double-float pair image of
+    the data is (x, 0). On the TPU deep path this entry feeds the
+    f32 block straight into the chain at the FULL 7-band f64 profile
+    (zero tails synthesized in-slab): the upcast pass disappears and
+    the source HBM footprint/read halves — the production spool
+    feed's term (parallel/out_of_core.py ships f32). Result contract
+    identical to ``acf_fft(x32.astype(float64))`` up to the pair
+    grade (~2^-48); output float64. Elsewhere it upcasts and runs
+    the standard dispatch (bit-identical to the f64 route).
+    """
+    import os
+
+    x32 = jnp.asarray(x32)
+    if x32.dtype != jnp.float32:
+        raise TypeError(
+            f"acf_fft_from_f32 expects float32 samples, got "
+            f"{x32.dtype} (use acf_fft for float64 operands)")
+    if x32.ndim == 2:
+        x32 = x32[:, :, None]
+    N, P, d = x32.shape
+    M = 2 * next_pow_2(N)
+    inv = (1.0 / (N - jnp.arange(N, dtype=jnp.float64)))[:, None]
+    if (
+        not os.environ.get("TRANSPORT_ANALYSIS_TPU_NO_PALLAS_FFT")
+        and _eager_engines_ok()
+    ):
+        from . import deep_acf, pallas_fft
+
+        if deep_acf.supported(M, P * d) and not pallas_fft.supported(
+            M, P * d
+        ):
+            box = [x32.reshape(N, P * d)]
+            del x32
+            raw = deep_acf.raw_autocorr_deep_f32(
+                box.pop(), N, m=M, sum_d=d)
+            return raw * inv
+    box = [x32.astype(jnp.float64)]
+    del x32
+    raw = raw_autocorr_sumlast(box.pop())
+    return raw * inv
+
+
 def acf_windowed(x, max_lag=None) -> jax.Array:
     """Exact per-lag windowed autocorrelation, (N, P, d) → (n_lags, P).
 

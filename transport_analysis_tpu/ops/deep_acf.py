@@ -344,6 +344,53 @@ def _prepare_pair_hl(hi, lo, inner: int, outer: int, w: int, s: int):
     return tuple(a.reshape(inner, w * outer) for a in parts)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("inner", "outer", "w", "s"),
+    donate_argnums=(0,),
+)
+def _prepare_pair_f32(x32, inner: int, outer: int, w: int, s: int):
+    """_prepare_pair from an exactly-representable f32 source: the
+    pair is (x, 0) with the zero tails SYNTHESIZED (never read) —
+    half the source traffic of the f64 route, no split ops."""
+    m = inner * outer
+    n_rows = x32.shape[0]
+
+    def turn(a, rows):
+        return a.reshape(rows // outer, outer, w).swapaxes(
+            1, 2).reshape(rows // outer, w * outer)
+
+    ll = max(1, _UNPACK_SLAB * 128 // max(2 * w, 1))
+    ll = 1 << (ll.bit_length() - 1)
+    ll = max(ll, outer)
+    if m % ll or m <= ll:
+        hi = jnp.pad(x32, ((0, m - n_rows), (0, 2 * w - s)))
+        z = jnp.zeros((inner, w * outer), jnp.float32)
+        return (
+            turn(hi[:, :w], m).reshape(inner, w * outer), z,
+            turn(hi[:, w:], m).reshape(inner, w * outer), z,
+        )
+
+    nz = -(-n_rows // ll)
+    if n_rows % ll:
+        x32 = jnp.pad(x32, ((0, nz * ll - n_rows), (0, 0)))
+
+    def slab(a0):
+        def data(a0):
+            hs = jax.lax.dynamic_slice(x32, (a0 * ll, 0), (ll, s))
+            hs = jnp.pad(hs, ((0, 0), (0, 2 * w - s)))
+            z = jnp.zeros((ll // outer, w * outer), jnp.float32)
+            return (turn(hs[:, :w], ll), z, turn(hs[:, w:], ll), z)
+
+        def zero(a0):
+            z = jnp.zeros((ll // outer, w * outer), jnp.float32)
+            return (z, z, z, z)
+
+        return jax.lax.cond(a0 < nz, data, zero, a0)
+
+    parts = jax.lax.map(slab, jnp.arange(m // ll))
+    return tuple(a.reshape(inner, w * outer) for a in parts)
+
+
 # rows per slab of the fused unpack stage (128 MB of f64 at w = 128).
 # Above ~2^19 rows a straight-line unpack's HLO temps (hi/lo splits +
 # reversals of every operand, ~6 full-array f32 copies live at once)
@@ -1233,6 +1280,23 @@ def _deep_chain_onejit_hl(hi, lo, consts, tables, inner, outer, w, s,
                             n_out, n_bands, max_group, sum_d)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("inner", "outer", "w", "s", "n_out", "n_bands",
+                     "max_group", "sum_d"),
+    donate_argnums=(0,))
+def _deep_chain_onejit_f32(x32, consts, tables, inner, outer, w, s,
+                           n_out, n_bands, max_group, sum_d):
+    """_deep_chain_onejit from an exactly-representable f32 source
+    (trajectory data): the pair image is (x, 0) — zero tails are
+    synthesized in-slab, so the chain reads HALF the source bytes of
+    the f64 route and runs the SAME 7-band f64 profile (not the
+    4-band f32 fast mode)."""
+    pair = _prepare_pair_f32(x32, inner, outer, w, s)
+    return _deep_chain_core(pair, consts, tables, inner, outer, w, s,
+                            n_out, n_bands, max_group, sum_d)
+
+
 def _deep_chain_core(pair, consts, tables, inner, outer, w, s, n_out,
                      n_bands, max_group, sum_d):
     pair = _pf._fft_fwd_auto(pair, consts, n_bands=n_bands,
@@ -1413,6 +1477,45 @@ def raw_autocorr_deep_pair(hi, lo, n_out: int, m: int = None,
 
     x = hi.astype(jnp.float64) + lo.astype(jnp.float64)
     del hi, lo
+    box = [x]
+    del x
+    return raw_autocorr_deep(box.pop(), n_out, m=m, sum_d=sum_d)
+
+
+def raw_autocorr_deep_f32(x32, n_out: int, m: int = None,
+                          sum_d: int = 0):
+    """:func:`raw_autocorr_deep` at the FULL f64 band profile from an
+    exactly-representable float32 source (trajectory data is stored
+    f32; its f64 image is exact, pair form (x, 0)). Output float64,
+    identical contract to raw_autocorr_deep(x32.astype(f64)) — NOT
+    the 4-band f32 fast mode. The chain reads half the source bytes
+    and skips the upcast + split passes. Off the one-jit TPU path
+    the source upcasts and the standard entry runs."""
+    n_rows, s = x32.shape
+    if m is None:
+        m = n_rows
+    n_bands, max_group = _pf._profile(jnp.float64)
+    if (n_bands, max_group) != (_pf._N_BANDS, _pf._MAX_GROUP):
+        _warn_deep_precision(n_bands, max_group)
+    inner, outer = _split_m(m)
+
+    use_onejit = (
+        _pf.is_tpu_backend()
+        and not _HBM_DEBUG
+        and not _os.environ.get("TRANSPORT_ANALYSIS_TPU_DEEP_EAGER")
+    )
+    if use_onejit:
+        w = _deep_w(s, outer)
+        consts = _pf._device_constants(inner // 128, 1, n_bands)
+        tables = _outer_kernel_tables(inner, outer, n_bands)
+        box = [x32]
+        del x32
+        return _deep_chain_onejit_f32(
+            box.pop(), consts, tables, inner, outer, w, s, n_out,
+            n_bands, max_group, sum_d)
+
+    x = x32.astype(jnp.float64)
+    del x32
     box = [x]
     del x
     return raw_autocorr_deep(box.pop(), n_out, m=m, sum_d=sum_d)

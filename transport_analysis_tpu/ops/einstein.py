@@ -252,8 +252,15 @@ def _center_and_sq_flat_pair(a, d: int):
 
     N = a.shape[0]
     flat = a.reshape(N, -1)
-    mu = jnp.mean(flat, axis=0, keepdims=True)
-    hi, lo = _pfb._split_pair(flat)
+    if a.dtype == jnp.float32:
+        # exactly-representable f32 source: pair image (x, 0); the
+        # column means still accumulate in f64 (fused into the read)
+        mu = jnp.mean(flat, axis=0, keepdims=True,
+                      dtype=jnp.float64)
+        hi, lo = flat, jnp.zeros_like(flat)
+    else:
+        mu = jnp.mean(flat, axis=0, keepdims=True)
+        hi, lo = _pfb._split_pair(flat)
     mh, ml = _pfb._split_pair(mu)
     # pair centering: TwoSum(hi, -mh), tails folded
     ch, e = _pfb._two_sum(hi, -mh)
@@ -427,6 +434,50 @@ def einstein_difference_fft(a, reduce_mode: str = "mean",
     else:
         sq = _sq_sum(a)
     return _assembly(sq, reduce_mode, d, corr)
+
+
+def einstein_difference_fft_from_f32(a32, reduce_mode: str = "mean"
+                                     ) -> jax.Array:
+    """float64-GRADE Helfand/Einstein lag difference from float32
+    samples (see acf.acf_fft_from_f32 for the contract): on the TPU
+    deep path the centering runs on the exact (x, 0) pair image —
+    means f64-accumulated, TwoSum centering, Dekker squares — and
+    the chain consumes the centered pair; no f64 operand ever
+    materializes. Elsewhere the source upcasts and the standard
+    route runs."""
+    a32 = jnp.asarray(a32)
+    if a32.dtype != jnp.float32:
+        raise TypeError(
+            f"einstein_difference_fft_from_f32 expects float32 "
+            f"samples, got {a32.dtype}")
+    if a32.ndim == 2:
+        a32 = a32[:, :, None]
+    P, d = a32.shape[1], a32.shape[-1]
+
+    from . import pallas_fft as _pfb
+    from . import deep_acf as _da
+    from .acf import (
+        next_pow_2, raw_autocorr_sumlast_flat_pair,
+    )
+
+    N, S = a32.shape[0], P * d
+    m = 2 * next_pow_2(N)
+    if (
+        _pfb.is_tpu_backend()
+        and _da.supported(m, S)
+        and not _pfb.supported(m, S)
+        and _pfb._profile(jnp.float64)[0] == _pfb._N_BANDS
+    ):
+        ch, cl, sq = _center_and_sq_flat_pair(a32, d)
+        del a32
+        box = [ch, cl]
+        del ch, cl
+        cl_ = box.pop()
+        corr = raw_autocorr_sumlast_flat_pair(box.pop(), cl_, P, d)
+        return _assembly(sq, reduce_mode, d, corr)
+    box = [a32.astype(jnp.float64)]
+    del a32
+    return einstein_difference_fft(box.pop(), reduce_mode)
 
 
 def msd_fft(r) -> jax.Array:

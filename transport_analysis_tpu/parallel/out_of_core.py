@@ -128,6 +128,18 @@ def device_f64(block):
     return jnp.asarray(jax.device_put(block), jnp.float64)
 
 
+def device_f32(block):
+    """Ship a float32 spool block to the default device WITHOUT
+    upcasting: the f64-grade `*_from_f32` kernel entries (ops.acf_fft
+    _from_f32 / einstein_difference_fft_from_f32) consume the exact
+    f32 samples directly — the upcast pass and half the on-chip
+    source footprint disappear (round 8's pair-domain feed)."""
+    import jax
+    import jax.numpy as jnp
+
+    return jnp.asarray(jax.device_put(block), jnp.float32)
+
+
 def correlate_spools(
     kernel,
     paths: Sequence[str],
@@ -273,7 +285,11 @@ def vacf_out_of_core(
     )
 
     def kernel(block):
-        out = ops.acf_fft(device_f64(block))
+        # spool blocks are f32 (exactly-representable trajectory
+        # samples): the f64-grade pair path skips the device upcast
+        # pass and halves the source footprint; off the TPU deep
+        # path acf_fft_from_f32 upcasts internally (same result)
+        out = ops.acf_fft_from_f32(device_f32(block))
         if max_lag:
             out = out[:max_lag]
         return out.sum(axis=1)  # particle-sum ON DEVICE: (L,) readback
@@ -336,7 +352,8 @@ def helfand_out_of_core(
     vol_avg = float(np.mean(volumes))
 
     def kernel(block):
-        out = ops.einstein_difference_fft(device_f64(block), "mean")
+        out = ops.einstein_difference_fft_from_f32(
+            device_f32(block), "mean")
         if max_lag:
             out = out[:max_lag]
         return out.sum(axis=1)  # particle-sum ON DEVICE: (L,) readback
