@@ -96,12 +96,17 @@ def _host_chunk(n_frames, chunk, seed):
     return vel, pos, masses
 
 
-def _device_kernel(n_frames, chunk):
+def _device_kernel(n_frames, chunk, f32_source=False):
     """Two passes per chunk, each synthesizing its own input so only
-    ONE (N, chunk, 3) f64 array is live alongside the FFT stages
+    ONE (N, chunk, 3) source array is live alongside the FFT stages
     (synthesis is ~free on device; holding vel+pos across the VACF
     would cost a second N*chunk*24 B against the HBM peak — the
-    difference between chunk=16 and chunk=64 fitting at N=2^20)."""
+    difference between chunk=16 and chunk=64 fitting at N=2^20).
+
+    ``f32_source`` mirrors the PRODUCTION spool feed: trajectory
+    samples (and the spooled m·v·x accumulator) are float32 on disk,
+    so the chunk enters as f32 and the f64-GRADE *_from_f32 entries
+    run — same band profile, no upcast pass, half the source HBM."""
 
     @jax.jit
     def synth_vel(key):
@@ -109,7 +114,7 @@ def _device_kernel(n_frames, chunk):
         vel32 = 5.0 * jax.random.normal(
             kv, (n_frames, chunk, 3), jnp.float32
         )
-        return vel32.astype(jnp.float64)
+        return vel32 if f32_source else vel32.astype(jnp.float64)
 
     @jax.jit
     def synth_accum(key):
@@ -124,8 +129,21 @@ def _device_kernel(n_frames, chunk):
             )
         )
         masses = jax.random.uniform(km, (chunk,), jnp.float64, 1.0, 16.0)
-        return (masses[:, None] * vel32.astype(jnp.float64)
-                * pos32.astype(jnp.float64))
+        accum = (masses[:, None] * vel32.astype(jnp.float64)
+                 * pos32.astype(jnp.float64))
+        # the spool writer quantizes the derived accumulator to f32
+        # (parallel/out_of_core.build_spools) — mirror that
+        return accum.astype(jnp.float32) if f32_source else accum
+
+    def vacf_of(block):
+        if f32_source:
+            return ops.acf_fft_from_f32(block)
+        return ops.acf_fft(block)
+
+    def helfand_of(block):
+        if f32_source:
+            return ops.einstein_difference_fft_from_f32(block, "mean")
+        return ops.einstein_difference_fft(block, "mean")
 
     def step(key):
         # hand each synthesized block over WITHOUT keeping a local
@@ -136,15 +154,15 @@ def _device_kernel(n_frames, chunk):
         box = [synth_vel(key)]
         # readback fences pass 1 so its buffers are truly free before
         # pass 2 enqueues (see _analyze: no outer jit)
-        vs = np.asarray(ops.acf_fft(box.pop()).sum(axis=1))
+        vs = np.asarray(vacf_of(box.pop()).sum(axis=1))
         box = [synth_accum(key)]
-        hs = np.asarray(
-            ops.einstein_difference_fft(box.pop(), "mean").sum(axis=1)
-        )
+        hs = np.asarray(helfand_of(box.pop()).sum(axis=1))
         return vs, hs
 
     step.synth_vel = synth_vel
     step.synth_accum = synth_accum
+    step.vacf_of = vacf_of
+    step.helfand_of = helfand_of
     return step
 
 
@@ -187,6 +205,11 @@ def main():
                     help="ops.fft_precision profile for the banded "
                          "engine (exact/high/medium/fast); the north "
                          "star's 1e-8 contract admits 'medium'")
+    ap.add_argument("--f32-source", action="store_true",
+                    help="feed the chunks as float32 (the production "
+                         "spool format) through the f64-grade "
+                         "*_from_f32 entries — same band profile, no "
+                         "upcast pass, half the source HBM")
     args = ap.parse_args()
 
     n_frames = args.frames
@@ -203,7 +226,8 @@ def main():
         # fenced per-stage walls of ONE chunk, two-pass layout
         # (synth_vel / VACF / synth_accum / Helfand) — warm once, then
         # time a second chunk so compile cost is excluded
-        kernels = _device_kernel(n_frames, chunk)
+        kernels = _device_kernel(n_frames, chunk,
+                                 f32_source=args.f32_source)
         key = jax.random.PRNGKey(0)
         kernels(jax.random.fold_in(key, 10**6))  # warm (fenced internally)
 
@@ -229,7 +253,7 @@ def main():
         # consume the source exactly like the production step — a
         # held (N, chunk, 3) f64 source adds onto the deep chain's
         # peak and OOMs the largest rungs
-        np.asarray(ops.acf_fft(box.pop()).sum(axis=1)[-1])
+        np.asarray(kernels.vacf_of(box.pop()).sum(axis=1)[-1])
         stages["vacf_fft"] = time.perf_counter() - t0
         hbm_peaks["vacf_fft"] = _peak_gb()
         t0 = time.perf_counter()
@@ -238,15 +262,15 @@ def main():
         stages["synth_accum"] = time.perf_counter() - t0
         t0 = time.perf_counter()
         np.asarray(
-            ops.einstein_difference_fft(box.pop(), "mean")
-            .sum(axis=1)[-1]
+            kernels.helfand_of(box.pop()).sum(axis=1)[-1]
         )
         stages["helfand_fft"] = time.perf_counter() - t0
         hbm_peaks["helfand_fft"] = _peak_gb()
         print(json.dumps({
             "metric": (
                 f"north-star chunk stages (N={n_frames}, "
-                f"chunk={chunk}, f64)"),
+                f"chunk={chunk}, "
+                f"{'f32-source' if args.f32_source else 'f64'})"),
             "stages_s": {k: round(v, 2) for k, v in stages.items()},
             "chunk_wall_s": round(sum(stages.values()), 2),
             "hbm_peak_gb": hbm_peaks,
