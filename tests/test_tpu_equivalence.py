@@ -467,3 +467,34 @@ def test_pallas_kneller_assembly_on_hardware():
     want[0] = 0.0
     rel = np.max(np.abs(got - want)) / np.abs(want).max()
     assert rel < 1e-11
+
+
+def test_from_f32_entries_deep_shape_on_hardware():
+    """The f64-GRADE f32-source entries at a deep shape: the results
+    must match the f64 route at pair grade (~2^-48), NOT the 4-band
+    f32 fast mode's ~1e-5 — i.e. the f32 source rode the full 7-band
+    profile with synthesized zero tails."""
+    import jax.numpy as jnp
+
+    from transport_analysis_tpu import ops
+    from transport_analysis_tpu.ops.acf import acf_fft_numpy
+
+    n, p = 131072, 8
+    rng = np.random.default_rng(23)
+    x32 = (5.0 * rng.standard_normal((n, p, 3))).astype(np.float32)
+
+    got = np.asarray(ops.acf_fft_from_f32(jnp.asarray(x32)))
+    ref = acf_fft_numpy(x32.astype(np.float64))
+    scale = np.abs(ref).max()
+    err = np.abs(got - ref) / scale
+    assert got.dtype == np.float64
+    # head half carries the contract (tail lags amplify /(N-lag))
+    assert err[: n // 2].max() < 1e-11
+
+    a32 = (x32 + 10.0).astype(np.float32)
+    got_h = np.asarray(
+        ops.einstein_difference_fft_from_f32(jnp.asarray(a32), "mean"))
+    want_h = np.asarray(ops.einstein_difference_fft(
+        jnp.asarray(a32, jnp.float64), "mean"))
+    scale = np.abs(want_h).max()
+    assert np.abs(got_h - want_h).max() / scale < 1e-11
