@@ -421,3 +421,31 @@ class TestPallasEpilogue:
         # component sum is ~2^-48-grade vs the f64 reduce
         tol = 0.0 if not sum_d else 1e-13 * scale
         assert np.max(np.abs(got - want)) <= tol
+
+
+class TestPreparePairVariants:
+    """The pair-source and f32-source prepare stages against the f64
+    one: same slab structure, same output contract."""
+
+    @pytest.mark.parametrize("n_rows", [700, 2048])
+    def test_hl_and_f32_match_f64(self, n_rows):
+        from transport_analysis_tpu.ops import deep_acf as D
+        from transport_analysis_tpu.ops import pallas_fft as PF
+
+        inner, outer, w, s = 1024, 2, 64, 100
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.normal(0, 3, (n_rows, s)))
+
+        want = D._prepare_pair(x + 0, inner, outer, w, s)
+
+        hi, lo = PF._split_pair(x)
+        got_hl = D._prepare_pair_hl(hi + 0, lo + 0, inner, outer, w, s)
+        for g, t in zip(got_hl, want):
+            assert np.array_equal(np.asarray(g), np.asarray(t))
+
+        x32 = jnp.asarray(np.asarray(x, np.float32))
+        want32 = D._prepare_pair(
+            x32.astype(jnp.float64), inner, outer, w, s)
+        got32 = D._prepare_pair_f32(x32 + 0, inner, outer, w, s)
+        for g, t in zip(got32, want32):
+            assert np.array_equal(np.asarray(g), np.asarray(t))
