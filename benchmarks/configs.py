@@ -71,13 +71,34 @@ def main():
         "wall_s": round(w, 3),
     })
 
-    # 2: FFT VACF + Green–Kubo D
+    # Configs 2-4 run FFT analyses inside the scan's trace, where the
+    # dispatch correctly refuses the eager Pallas engine (its cached
+    # banded constants would embed as program literals). Thread the
+    # constants through as ARGUMENTS and call the traceable engine
+    # entry points — same recipe as bench.py — so the table measures
+    # the PRODUCTION engine path, not the matmul-FFT fallback (which
+    # it silently did for three rounds: 2.7e11 vs 1.1e12 lags/s).
+    from transport_analysis_tpu.ops import acf as ACF
+    from transport_analysis_tpu.ops import einstein as EIN
+    from transport_analysis_tpu.ops import pallas_fft as PF
+
     n, p = (2048, 128) if args.quick else (8192, 512)
     vel = jnp.asarray(rng.normal(0, 5, (n, p, 3)))
     times = jnp.arange(n, dtype=jnp.float64) * 0.002
+    m = 2 * ACF.next_pow_2(n)
+    engine = (ACF.engine_consts_for(n)
+              if PF.supported(m, p * 3) else None)
+
+    def corr_of(v):
+        if engine is None:
+            return ACF.raw_autocorr_sumlast(v)
+        consts, n_bands, max_group = engine
+        return ACF.raw_autocorr_sumlast_engine(
+            v, consts, n_bands, max_group)
 
     def vacf_gk(v):
-        ts = ops.acf_fft(v).mean(axis=1)
+        norm = (n - jnp.arange(n, dtype=v.dtype))[:, None]
+        ts = (corr_of(v) / norm).mean(axis=1)
         return ts + ops.trapezoid(ts, times) / 3.0
 
     w = fenced(vacf_gk, vel)
@@ -96,7 +117,10 @@ def main():
 
     def helfand(v, x):
         accum = masses[None, :, None] * v * x
-        return ops.einstein_difference_fft(accum, "mean").mean(axis=1)
+        accum = EIN._center(accum)
+        corr = corr_of(accum)
+        return ops.einstein_difference_fft(
+            accum, "mean", corr=corr).mean(axis=1)
 
     w = fenced(helfand, vel, pos)
     results.append({
@@ -105,8 +129,15 @@ def main():
         "wall_s": round(w, 3),
     })
 
-    # 4: Einstein MSD via FFT
-    w = fenced(lambda x: ops.msd_fft(x).mean(axis=1), pos)
+    # 4: Einstein MSD via FFT (sum over components + Kneller assembly
+    # on the engine-threaded correlation)
+    def msd(x):
+        c = EIN._center(x)
+        corr = corr_of(c)
+        return ops.einstein_difference_fft(
+            c, "sum", corr=corr).mean(axis=1)
+
+    w = fenced(msd, pos)
     results.append({
         "config": f"4 Einstein MSD FFT (N={n}, P={p}, f64)",
         "value": lags_full(n, p) / w, "unit": "atom-frame-lags/s",
@@ -116,10 +147,10 @@ def main():
     # 5: streaming smoke (full run: benchmarks/northstar.py)
     results.append({
         "config": "5 streaming 100k-atom scale",
-        "see": "benchmarks/northstar.py (1.63e12 lags/s sustained, "
-               "66.1 s for 100,352 atoms x 32,768 frames at the "
+        "see": "benchmarks/northstar.py (1.82e12 lags/s sustained, "
+               "59.2 s for 100,352 atoms x 32,768 frames at the "
                "recalibrated auto chunk=1024; the 2^20-frame rungs "
-               "run 3.6e13 lags/s)",
+               "run 5.4e13 lags/s)",
     })
 
     for r in results:
