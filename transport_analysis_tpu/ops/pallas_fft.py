@@ -594,9 +594,10 @@ def _banded_level3(lre, lim, pair3, scale, out_rows: int,
     view (contraction axis 0, G sub-columns-groups, B lanes).
 
     ``scale``/colmax are (G, B) per (sub-group, lane) GEMM column.
-    Output: out_sub0 -> (G, out_rows, B) (level 1's transposed form);
-    else (out_rows, G_out= the lhs' own 128 sub-axis... see
-    _fft_fwd_impl_v3) -> (out_rows, G, B).
+    Output: ``out_sub0`` selects the sub-group axis position —
+    leading, (G, out_rows, B) (level 1's transposed form, consumed
+    as-is by the next level), or middle, (out_rows, G, B) (whose 2D
+    leading merge is the free k-major / lag-major exit).
     """
     if max_group is None:
         max_group = _MAX_GROUP
