@@ -394,7 +394,11 @@ def msd_out_of_core(
     )
 
     def kernel(block):
-        out = ops.msd_fft(device_f64(block))
+        # msd_fft(r) == einstein_difference_fft(r, "sum"); the f32
+        # spool block rides the f64-grade pair path (see the VACF
+        # kernel above)
+        out = ops.einstein_difference_fft_from_f32(
+            device_f32(block), "sum")
         if max_lag:
             out = out[:max_lag]
         return out.sum(axis=1)  # particle-sum ON DEVICE: (L,) readback
