@@ -1330,12 +1330,21 @@ _PRECISION_WARNED = [False]
 
 def _warn_deep_precision(n_bands: int, max_group: int):
     """Warn (once per process) when a trimmed fft_precision profile
-    reaches the deep composition: the engine-only grade of a trimmed
-    profile does NOT survive the extra outer level + conjugation leg.
-    Hardware-measured at the N=2^20 rung (BENCH_NOTES "precision
-    ladder"): "high" (7, 5) lands at 2.4e-10 and "medium" (5, 4) at
-    4.9e-8 — both outside the package's 1e-11 float64 contract, which
-    only the default "exact" profile holds at deep shapes."""
+    reaches the deep composition. Hardware-measured at the N=2^20
+    rung, split by metric (BENCH_NOTES round-8 precision ladder —
+    the tail lags divide by (N-lag) -> 1 and amplify the raw error
+    floor ~N-fold even in pure f64):
+
+      profile        head (lags < N/2)   full range
+      exact (7, 6)   2.0e-15             9.6e-12
+      high  (7, 5)   3.3e-14             7.4e-10
+      medium (5, 4)  3.6e-12             6.6e-8
+
+    Only "exact" keeps the FULL-RANGE error at the f64 tail floor —
+    the property a user diffing whole arrays against a reference f64
+    run sees — so it remains the default and the contract mode;
+    "high" is admissible where a 1e-8 full-range bar applies (the
+    north-star config) and holds ~1e-13 on the head either way."""
     if _PRECISION_WARNED[0]:
         return
     _PRECISION_WARNED[0] = True
@@ -1344,10 +1353,12 @@ def _warn_deep_precision(n_bands: int, max_group: int):
     warnings.warn(
         f"fft_precision profile (n_bands={n_bands}, max_group="
         f"{max_group}) on a deep-composition transform (> 32768 "
-        "frames): measured deep-shape error is ~1e-10 ('high') to "
-        "~1e-8 ('medium'), OUTSIDE the 1e-11 float64 contract that "
-        "the default 'exact' profile holds. Use ops.fft_precision("
-        "'exact') (the default) if you need contract-grade results.",
+        "frames): full-range deep-shape error is ~7e-10 ('high') to "
+        "~7e-8 ('medium') — above the f64 tail floor (~1e-11) that "
+        "only the default 'exact' profile holds; the head half "
+        "(lags < N/2) stays at ~1e-13 ('high') / ~4e-12 ('medium'). "
+        "Use ops.fft_precision('exact') (the default) for "
+        "contract-grade full-range results.",
         stacklevel=3,
     )
 
