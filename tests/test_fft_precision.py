@@ -188,7 +188,7 @@ class TestDeepPrecisionWarning:
 
         monkeypatch.setattr(DA, "_PRECISION_WARNED", [False])
         with ops.fft_precision("high"):
-            with pytest.warns(UserWarning, match="OUTSIDE the 1e-11"):
+            with pytest.warns(UserWarning, match="above the f64 tail floor"):
                 self._call(monkeypatch)
             # second dispatch: no duplicate warning
             import warnings
