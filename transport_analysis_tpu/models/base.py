@@ -22,6 +22,39 @@ from typing import Optional
 import numpy as np
 
 
+def source_cast(arr, work_dtype) -> np.ndarray:
+    """f32-exact source handling for model feed buffers.
+
+    Trajectory decoders serve float32 samples (core/trajectory.py
+    ``read_frames_batch``; every binary MD format stores f32). Those
+    values are exactly representable in float64, so a float64-grade
+    analysis does not require an 8-byte host buffer: keep the block
+    f32 and let the ops layer consume it through the ``*_from_f32``
+    entries (ops/acf.py ``acf_fft_from_f32``), which synthesize the
+    exact (x, 0) double-float pair image on device — half the host
+    RAM, half the host→device transfer, and no upcast pass on the TPU
+    deep path (BENCH_NOTES round-8 "f32-exact source entries").
+
+    Returns ``arr`` unchanged when the work dtype is float64 and the
+    source is float32; otherwise casts to the work dtype. Set
+    ``TRANSPORT_ANALYSIS_TPU_NO_F32_SOURCE=1`` to force the eager
+    host upcast (bit-identical results on every non-deep path; the
+    deep path agrees to the pair grade ~2^-48, inside the engine's
+    1e-11 contract either way).
+    """
+    import os
+
+    arr = np.asarray(arr)
+    work_dtype = np.dtype(work_dtype)
+    if (
+        work_dtype == np.float64
+        and arr.dtype == np.float32
+        and not os.environ.get("TRANSPORT_ANALYSIS_TPU_NO_F32_SOURCE")
+    ):
+        return arr
+    return arr if arr.dtype == work_dtype else arr.astype(work_dtype)
+
+
 class Results(dict):
     """dict with attribute access (MDAnalysis ``Results`` parity;
     consumed by the reference at velocityautocorr.py:121-125)."""

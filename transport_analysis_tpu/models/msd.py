@@ -75,9 +75,12 @@ class EinsteinMSD(AnalysisBase):
     def _process_batch(self, batch):
         if "positions" not in batch:
             raise NoDataError("MSD computation requires positions")
-        self._positions = np.asarray(
-            batch["positions"][:, self.ag.indices],
-            dtype=self._work_dtype,
+        from .base import source_cast
+
+        # f32 decoder output stays f32 under a float64 work dtype —
+        # consumed f64-GRADE via einstein_difference_fft_from_f32
+        self._positions = source_cast(
+            batch["positions"][:, self.ag.indices], self._work_dtype
         )[:, :, self._dim]
 
     def _process_block(self, batch, offset):
@@ -85,18 +88,17 @@ class EinsteinMSD(AnalysisBase):
         (models/base.py DeviceSeriesBuffer)."""
         if "positions" not in batch:
             raise NoDataError("MSD computation requires positions")
-        from .base import DeviceSeriesBuffer
+        from .base import DeviceSeriesBuffer, source_cast
 
+        block = source_cast(
+            batch["positions"][:, self.ag.indices], self._work_dtype
+        )[:, :, self._dim]
         if offset == 0:
             self._pos_buf = DeviceSeriesBuffer(
                 (self.n_frames, len(self.ag), len(self._dim)),
-                self._work_dtype,
+                block.dtype,
             )
-        self._pos_buf.write(
-            np.asarray(batch["positions"][:, self.ag.indices],
-                       dtype=self._work_dtype)[:, :, self._dim],
-            offset,
-        )
+        self._pos_buf.write(block, offset)
         self._positions = self._pos_buf.array()
 
     def _single_frame(self):
@@ -111,11 +113,25 @@ class EinsteinMSD(AnalysisBase):
             else min(self.max_lag, self.n_frames)
         )
 
+        f32_src = (
+            np.dtype(self._positions.dtype) == np.float32
+            and self._work_dtype == np.float64
+        )
+
         def kernel(p):
             if self.fft:
+                if f32_src:
+                    return ops.einstein_difference_fft_from_f32(
+                        p, reduce_mode="sum"
+                    )[: self.n_lags]
                 return ops.einstein_difference_fft(
                     p, reduce_mode="sum"
                 )[: self.n_lags]
+            if f32_src:
+                # exact windowed path: upcast on DEVICE (exact)
+                import jax.numpy as jnp
+
+                p = jnp.asarray(p).astype(jnp.float64)
             return ops.einstein_difference_windowed(
                 p, reduce_mode="sum", max_lag=self.n_lags
             )

@@ -87,8 +87,13 @@ class VelocityAutocorr(AnalysisBase):
             raise NoDataError(
                 "VACF computation requires velocities in the trajectory"
             )
+        from .base import source_cast
+
         v = batch["velocities"][:, self.atomgroup.indices]
-        self._velocities = np.asarray(v, dtype=self._work_dtype)[
+        # f32 decoder output stays f32 under a float64 work dtype —
+        # the conclude kernel consumes it f64-GRADE via
+        # ops.acf_fft_from_f32 (see base.source_cast)
+        self._velocities = source_cast(v, self._work_dtype)[
             :, :, self._dim
         ]
 
@@ -100,17 +105,19 @@ class VelocityAutocorr(AnalysisBase):
             raise NoDataError(
                 "VACF computation requires velocities in the trajectory"
             )
-        from .base import DeviceSeriesBuffer
+        from .base import DeviceSeriesBuffer, source_cast
 
+        block = source_cast(
+            batch["velocities"][:, self.atomgroup.indices],
+            self._work_dtype,
+        )[:, :, self._dim]
         if offset == 0:
+            # HBM buffer dtype follows the first block: f32 under a
+            # float64 work dtype (f32-exact source mode)
             self._vel_buf = DeviceSeriesBuffer(
                 (self.n_frames, len(self.atomgroup), len(self._dim)),
-                self._work_dtype,
+                block.dtype,
             )
-        block = np.asarray(
-            batch["velocities"][:, self.atomgroup.indices],
-            dtype=self._work_dtype,
-        )[:, :, self._dim]
         self._vel_buf.write(block, offset)
         self._velocities = self._vel_buf.array()
 
@@ -129,9 +136,27 @@ class VelocityAutocorr(AnalysisBase):
             if self.max_lag is None
             else min(self.max_lag, self.n_frames)
         )
+        f32_src = (
+            np.dtype(self._velocities.dtype) == np.float32
+            and self._work_dtype == np.float64
+        )
         if self.fft:
+            if f32_src:
+                def kernel(v):
+                    return ops.acf_fft_from_f32(v)[: self.n_lags]
+            else:
+                def kernel(v):
+                    return ops.acf_fft(v)[: self.n_lags]
+        elif f32_src:
             def kernel(v):
-                return ops.acf_fft(v)[: self.n_lags]
+                # exact windowed path needs the f64 operand; upcast
+                # on DEVICE (exact) so the transfer stays 4-byte
+                import jax.numpy as jnp
+
+                return ops.acf_windowed(
+                    jnp.asarray(v).astype(jnp.float64),
+                    max_lag=self.n_lags,
+                )
         else:
             def kernel(v):
                 return ops.acf_windowed(v, max_lag=self.n_lags)

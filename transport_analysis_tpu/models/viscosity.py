@@ -131,12 +131,17 @@ class ViscosityHelfand(AnalysisBase):
         if np.any(volumes == 0.0):
             raise NoDataError(self._NO_DATA_MSG)
         self._volumes = volumes
+        from .base import source_cast
+
         idx = self.atomgroup.indices
-        self._velocities = np.asarray(
-            batch["velocities"][:, idx], dtype=self._work_dtype
+        # f32 decoder output stays f32 under a float64 work dtype;
+        # the m·v·x accumulator below is formed in f64 regardless
+        # (f32→f64 upcast is exact, so the product is bit-identical)
+        self._velocities = source_cast(
+            batch["velocities"][:, idx], self._work_dtype
         )[:, :, self._dim]
-        self._positions = np.asarray(
-            batch["positions"][:, idx], dtype=self._work_dtype
+        self._positions = source_cast(
+            batch["positions"][:, idx], self._work_dtype
         )[:, :, self._dim]
 
     def _process_block(self, batch, offset):
@@ -148,28 +153,26 @@ class ViscosityHelfand(AnalysisBase):
         volumes = np.asarray(batch["volumes"], dtype=np.float64)
         if np.any(volumes == 0.0):
             raise NoDataError(self._NO_DATA_MSG)
-        from .base import DeviceSeriesBuffer
+        from .base import DeviceSeriesBuffer, source_cast
 
+        idx = self.atomgroup.indices
+        vel_block = source_cast(
+            batch["velocities"][:, idx], self._work_dtype
+        )[:, :, self._dim]
+        pos_block = source_cast(
+            batch["positions"][:, idx], self._work_dtype
+        )[:, :, self._dim]
         if offset == 0:
             shape = (
                 self.n_frames, len(self.atomgroup), len(self._dim)
             )
-            self._vel_buf = DeviceSeriesBuffer(shape, self._work_dtype)
-            self._pos_buf = DeviceSeriesBuffer(shape, self._work_dtype)
+            self._vel_buf = DeviceSeriesBuffer(shape, vel_block.dtype)
+            self._pos_buf = DeviceSeriesBuffer(shape, pos_block.dtype)
             self._volumes = np.zeros(self.n_frames, np.float64)
-        idx = self.atomgroup.indices
         nb = len(volumes)
         self._volumes[offset:offset + nb] = volumes
-        self._vel_buf.write(
-            np.asarray(batch["velocities"][:, idx],
-                       dtype=self._work_dtype)[:, :, self._dim],
-            offset,
-        )
-        self._pos_buf.write(
-            np.asarray(batch["positions"][:, idx],
-                       dtype=self._work_dtype)[:, :, self._dim],
-            offset,
-        )
+        self._vel_buf.write(vel_block, offset)
+        self._pos_buf.write(pos_block, offset)
         self._velocities = self._vel_buf.array()
         self._positions = self._pos_buf.array()
 
