@@ -575,8 +575,6 @@ def _unpack_rev_planes(zrh, zrl, zih, zil, inner: int, outer: int,
     return rev(zrh), rev(zrl), rev(zih), rev(zil)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("inner", "outer", "w", "need"))
 def _unpack_rev_planes_half(zrh, zrl, zih, zil, inner: int,
                             outer: int, w: int, need: int):
     """First ``need`` rows of the Hermitian-mirror operand only:
@@ -585,7 +583,27 @@ def _unpack_rev_planes_half(zrh, zrl, zih, zil, inner: int,
     output symmetry p[M-m] = p[m], so only ~half a spectra set of
     mirror transient is ever live — the chunk-capacity half of
     ROADMAP lever 3 (the full-plane mirror was a peak-HBM wash
-    against the slabbed path's while-carry copies)."""
+    against the slabbed path's while-carry copies).
+
+    On TPU backends the mirror materializes through the MXU
+    permutation-matmul kernel (ops/pallas_mirror.py, bit-identical,
+    ~236 vs ~70 GB/s measured at the north-star plane); elsewhere
+    (and as fallback) the fused two-axis XLA rev below."""
+    from . import pallas_mirror as _pm
+
+    if _pf.is_tpu_backend() and _pm.supported(inner, outer, w, need):
+        return _pm.mirror_half_planes(
+            zrh, zrl, zih, zil, inner, outer, w, need)
+    return _unpack_rev_planes_half_xla(
+        zrh, zrl, zih, zil, inner, outer, w, need)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("inner", "outer", "w", "need"))
+def _unpack_rev_planes_half_xla(zrh, zrl, zih, zil, inner: int,
+                                outer: int, w: int, need: int):
+    """XLA formulation of the mirror materialization (see the
+    dispatcher above)."""
     def rev(z):
         # rows 1..need-1 = lane-mirrored z[inner-1 .. inner-need+1]:
         # the row flip and the j2 lane mirror are ONE two-axis
@@ -702,6 +720,14 @@ def _unpack_to_pair_dif_pallas(zrh, zrl, zih, zil, inner: int,
             vmem_limit_bytes=96 * 1024 * 1024),
         interpret=_pf._interpret(),
     )(zrh, zrl, zih, zil, *rr)
+
+    from . import pallas_mirror as _pm
+
+    if _pf.is_tpu_backend() and _pm.synth_supported(inner, outer, w):
+        # in-place MXU permutation-matmul synthesis (row half is
+        # rewritten bit-identically — see synth_tail_planes)
+        return _pm.synth_tail_planes(*outs, inner=inner, outer=outer,
+                                     w=w)
 
     def synth(o):
         # rows half+1 .. inner-1 = lane-mirror of row-flipped rows
